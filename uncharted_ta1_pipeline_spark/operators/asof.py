@@ -1,0 +1,173 @@
+"""Point-in-time (as-of) join — the engine's scaling-critical operator.
+
+Semantics: for each probe row ``(key, probe_ts)`` find the latest state row
+``(key, ts)`` with ``ts <= probe_ts`` (inclusive; ``strict=True`` gives
+``<``).  This is the transcript analog of the reference's predict-at-query-
+points step (/root/reference/tasks/geo_referencing/geo_projection.py:52-115:
+fit on keypoints, evaluate at probe pixels) and of the nearest-text dip
+lookup (/root/reference/tasks/point_extraction/point_orientation_extractor.py:262-271).
+
+Two physical strategies, identical results:
+
+1. ``asof_join`` — union-and-window sort-merge: tag rows, sort by
+   ``(key, ts, tag, tiebreak)``, carry the last non-null packed state struct
+   forward, keep probe rows.  One shuffle on ``key``; the sort is exactly
+   the machinery a sort-merge join would use.  Window partitioning is
+   per-key, so a single hot key serializes.
+
+2. ``asof_join_bucketed`` — the explicit-salting path required by the
+   north_rule for hot conversations: rows are range-bucketed by time within
+   each key, the per-(key, bucket) closing state is computed, carried across
+   buckets with a *second* (tiny: one row per bucket) cumulative window, and
+   joined back so the final per-(key, bucket) window never sees more than a
+   bucket's rows.  Two-level aggregation ≡ salting + unsalt.
+
+Both avoid a naive range cross-join (probes × state) entirely.
+
+Determinism: ties among state rows at equal ts are broken by
+``state_tiebreak`` (``turn_idx`` for transcripts — the stable turn-ordering
+invariant), so results are identical at any parallelism.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+
+def _prep(
+    probes: DataFrame,
+    state: DataFrame,
+    key: str,
+    probe_ts: str,
+    state_ts: str,
+    state_cols: list[str],
+    strict: bool,
+    state_tiebreak: str | None,
+):
+    """Union probes and state into one tagged, totally-ordered stream."""
+    # inclusive (<=): state sorts before probes at equal ts  -> state tag 0
+    # strict     (<): probes sort before state at equal ts   -> state tag 1
+    state_tag, probe_tag = (0, 1) if not strict else (1, 0)
+    tb = (
+        F.col(state_tiebreak).cast("long")
+        if state_tiebreak is not None
+        else F.lit(0).cast("long")
+    )
+    packed = state.select(
+        F.col(key).alias("_k"),
+        F.col(state_ts).alias("_ts"),
+        F.lit(state_tag).alias("_tag"),
+        tb.alias("_tb"),
+        F.struct(*[F.col(c) for c in state_cols]).alias("_state"),
+    )
+    probe_cols = list(probes.columns)
+    probed = probes.select(
+        F.col(key).alias("_k"),
+        F.col(probe_ts).alias("_ts"),
+        F.lit(probe_tag).alias("_tag"),
+        F.lit(0).cast("long").alias("_tb"),
+        F.lit(None).cast(packed.schema["_state"].dataType).alias("_state"),
+        F.struct(*[F.col(c) for c in probe_cols]).alias("_probe"),
+    )
+    packed = packed.withColumn(
+        "_probe", F.lit(None).cast(probed.schema["_probe"].dataType)
+    )
+    return packed.unionByName(probed), probe_cols, probe_tag
+
+
+def _unpack(
+    joined: DataFrame, probe_cols: list[str], state_cols: list[str], probe_tag: int
+) -> DataFrame:
+    return joined.filter(F.col("_tag") == probe_tag).select(
+        *[F.col(f"_probe.{c}").alias(c) for c in probe_cols],
+        *[F.col(f"_carry.{c}").alias(c) for c in state_cols],
+    )
+
+
+def asof_join(
+    probes: DataFrame,
+    state: DataFrame,
+    key: str = "conv_id",
+    probe_ts: str = "probe_ts",
+    state_ts: str = "ts",
+    state_cols: list[str] | None = None,
+    strict: bool = False,
+    state_tiebreak: str | None = "turn_idx",
+) -> DataFrame:
+    """Left as-of join: every probe row survives; state columns are NULL
+    when no state row precedes the probe (before-first-turn probes)."""
+    if state_cols is None:
+        state_cols = [c for c in state.columns if c not in (key, state_ts)]
+    unioned, probe_cols, probe_tag = _prep(
+        probes, state, key, probe_ts, state_ts, state_cols, strict, state_tiebreak
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_ts", "_tag", "_tb")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    joined = unioned.withColumn("_carry", F.last("_state", ignorenulls=True).over(w))
+    return _unpack(joined, probe_cols, state_cols, probe_tag)
+
+
+def asof_join_bucketed(
+    probes: DataFrame,
+    state: DataFrame,
+    key: str = "conv_id",
+    probe_ts: str = "probe_ts",
+    state_ts: str = "ts",
+    state_cols: list[str] | None = None,
+    strict: bool = False,
+    state_tiebreak: str | None = "turn_idx",
+    bucket_s: int = 86_400,
+) -> DataFrame:
+    """Hot-key-safe as-of join via time-range bucketing (explicit salting).
+
+    Salt = floor(ts / bucket_s); windows run per (key, salt) so a
+    conversation with 10^8 turns is processed in ~uniform slices.  The
+    cross-bucket carry is one row per (key, bucket) — negligible.
+    """
+    if state_cols is None:
+        state_cols = [c for c in state.columns if c not in (key, state_ts)]
+    unioned, probe_cols, probe_tag = _prep(
+        probes, state, key, probe_ts, state_ts, state_cols, strict, state_tiebreak
+    )
+    unioned = unioned.withColumn(
+        "_bkt", F.floor(F.unix_micros(F.col("_ts")) / F.lit(bucket_s * 1_000_000))
+    )
+
+    # level 1: within-bucket carry (window size bounded by bucket span)
+    w_in = (
+        Window.partitionBy("_k", "_bkt")
+        .orderBy("_ts", "_tag", "_tb")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    leveled = unioned.withColumn(
+        "_carry_in", F.last("_state", ignorenulls=True).over(w_in)
+    )
+
+    # level 2: closing state per (key, bucket), carried into LATER buckets.
+    # Every (key, bucket) present in the stream participates — including
+    # probe-only buckets, which would otherwise lose the carry.
+    all_buckets = unioned.select("_k", "_bkt").distinct()
+    closes = (
+        unioned.filter(F.col("_state").isNotNull())
+        .groupBy("_k", "_bkt")
+        .agg(F.max_by("_state", F.struct("_ts", "_tb")).alias("_close"))
+    )
+    w_bkts = (
+        Window.partitionBy("_k")
+        .orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry_prev = (
+        all_buckets.join(closes, on=["_k", "_bkt"], how="left")
+        .withColumn("_carry_prev", F.last("_close", ignorenulls=True).over(w_bkts))
+        .select("_k", "_bkt", "_carry_prev")
+    )
+
+    joined = leveled.join(carry_prev, on=["_k", "_bkt"], how="left").withColumn(
+        "_carry", F.coalesce("_carry_in", "_carry_prev")
+    )
+    return _unpack(joined, probe_cols, state_cols, probe_tag)

@@ -1,0 +1,182 @@
+"""Named queries — the engine's public operator surface.
+
+Each entry: ``(spark, sf_dir) -> DataFrame``, with an exact DuckDB oracle in
+plans/oracles.py (same column names, same values after round(6) on doubles).
+Keys mirror SURVEY.md §2's operator inventory.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from uncharted_ta1_pipeline_spark.operators import sessionize as sz
+from uncharted_ta1_pipeline_spark.operators import windows as win
+from uncharted_ta1_pipeline_spark.operators.asof import asof_join
+from uncharted_ta1_pipeline_spark.sources.transcripts import (
+    load_transcripts,
+    make_probes,
+)
+
+US = 1_000_000.0
+
+
+def _ts_us(col: str = "ts") -> F.Column:
+    return F.unix_micros(F.col(col)).alias(f"{col}_us")
+
+
+# ---------------------------------------------------------------------------
+# sources / scans
+# ---------------------------------------------------------------------------
+def q_ingest_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered ingest scan — stable turn ordering + byte-identical text
+    pass-through (≈ ImageFileInputIterator, reference tasks/common/io.py:34-145)."""
+    t = load_transcripts(spark, sf_dir)
+    return t.select("conv_id", "turn_idx", "role", "text", "tool", _ts_us())
+
+
+# ---------------------------------------------------------------------------
+# window features
+# ---------------------------------------------------------------------------
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (≈ tiling/segment grouping, tiling.py:46-228)."""
+    t = sz.with_sessions(load_transcripts(spark, sf_dir))
+    return t.select("conv_id", "turn_idx", "session_id")
+
+
+def q_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead role-transition features (≈ adjacent-block deg+minsec
+    pairing, coordinates_extractor.py:509-539)."""
+    t = win.with_lag_lead(load_transcripts(spark, sf_dir))
+    return t.select(
+        "conv_id",
+        "turn_idx",
+        "prev_role",
+        "next_role",
+        "prev_tool",
+        "role_transition",
+        "secs_since_prev",
+    )
+
+
+def q_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-past cumulative counts (zero temporal leakage)."""
+    t = win.with_cumulative(load_transcripts(spark, sf_dir))
+    return t.select(
+        "conv_id", "turn_idx", "turns_so_far", "tools_so_far", "distinct_tools_so_far"
+    )
+
+
+def q_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling strictly-past counts/means, frame rowsBetween(-5, -1)."""
+    t = win.with_rolling(load_transcripts(spark, sf_dir), width=5)
+    return t.select(
+        "conv_id",
+        "turn_idx",
+        "rolling_turns_5",
+        "rolling_tools_5",
+        "rolling_signal_mean_5",
+    )
+
+
+def q_ffill_tool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backfill: last non-empty tool strictly before the current turn
+    (≈ derived-keypoint inference, inference.py:21-185)."""
+    t = win.with_ffill_tool(load_transcripts(spark, sf_dir))
+    return t.select("conv_id", "turn_idx", "ffill_tool")
+
+
+def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-session aggregates (≈ per-segment stats, segmenter_utils.py:20-37)."""
+    return sz.session_stats(load_transcripts(spark, sf_dir))
+
+
+def q_conv_turn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation regression aggregates (≈ per-map polyfit,
+    geo_projection.py:52-115): slope of turn_idx over time + simple rate."""
+    t = load_transcripts(spark, sf_dir)
+    us = F.unix_micros(F.col("ts"))
+    # regression x = seconds relative to the conv's first turn: keeps the
+    # regressor small so the slope is numerically stable (identical result
+    # at any partitioning, and matching the oracle after round(6)).
+    w_conv = Window.partitionBy("conv_id")
+    t = t.withColumn("us", us).withColumn(
+        "ts_rel", (F.col("us") - F.min("us").over(w_conv)) / F.lit(US)
+    )
+    g = t.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.round((F.max("us") - F.min("us")) / F.lit(US), 6).alias("duration_s"),
+        F.round(F.expr("regr_slope(turn_idx, ts_rel)"), 6).alias("turn_rate_slope"),
+    )
+    return g.select(
+        "conv_id",
+        "n_turns",
+        "duration_s",
+        "turn_rate_slope",
+        F.round(
+            F.when(F.col("duration_s") > 0, (F.col("n_turns") - 1) / F.col("duration_s")),
+            6,
+        ).alias("turn_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# as-of join
+# ---------------------------------------------------------------------------
+def asof_state(t: DataFrame) -> DataFrame:
+    """Per-turn state-as-of-that-turn (inclusive): what a probe landing at or
+    after this turn's ts should observe."""
+    w = win.turn_order()
+    incl = w.rowsBetween(Window.unboundedPreceding, 0)
+    tool_used = (F.col("tool").isNotNull() & (F.col("tool") != "")).cast("long")
+    s = sz.with_sessions(t)
+    return s.select(
+        "conv_id",
+        "ts",
+        "turn_idx",
+        F.col("role").alias("last_role"),
+        F.row_number().over(w).cast("long").alias("turns_incl"),
+        F.sum(tool_used).over(incl).alias("tools_incl"),
+        F.col("session_id").alias("last_session_id"),
+    )
+
+
+def q_asof_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time feature lookup at probe timestamps (≈ predict at query
+    points, georeference.py:80-340).  Left as-of: pre-first-turn probes keep
+    NULL state."""
+    t = load_transcripts(spark, sf_dir)
+    probes = make_probes(t)
+    state = asof_state(t)
+    out = asof_join(
+        probes,
+        state,
+        key="conv_id",
+        probe_ts="probe_ts",
+        state_ts="ts",
+        state_cols=["turn_idx", "last_role", "turns_incl", "tools_incl", "last_session_id"],
+        state_tiebreak="turn_idx",
+    )
+    return out.select(
+        "probe_id",
+        "conv_id",
+        F.unix_micros(F.col("probe_ts")).alias("probe_ts_us"),
+        F.col("turn_idx").alias("matched_turn_idx"),
+        "last_role",
+        "turns_incl",
+        "tools_incl",
+        "last_session_id",
+    )
+
+
+QUERIES = {
+    "ingest_ordered": q_ingest_ordered,
+    "sessionize": q_sessionize,
+    "lag_lead": q_lag_lead,
+    "cumulative": q_cumulative,
+    "rolling": q_rolling,
+    "ffill_tool": q_ffill_tool,
+    "session_stats": q_session_stats,
+    "conv_turn_rate": q_conv_turn_rate,
+    "asof_features": q_asof_features,
+}
