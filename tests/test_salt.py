@@ -1,0 +1,44 @@
+"""featurize_salted is a physical strategy, not a semantic change: its
+output must equal featurize() exactly — including at chunk sizes small
+enough that every conversation spans many chunks."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from tests.conftest import SF_SMOKE
+
+
+def _cmp(a: pd.DataFrame, b: pd.DataFrame, key=("conv_id", "turn_idx")):
+    a = a.sort_values(list(key)).reset_index(drop=True)
+    b = b.sort_values(list(key)).reset_index(drop=True)
+    b = b[a.columns]
+    pd.testing.assert_frame_equal(a, b, check_like=True)
+
+
+@pytest.mark.parametrize("chunk_size", [7, 64, 100000])
+def test_salted_equals_plain(spark, chunk_size):
+    from uncharted_ta1_pipeline_spark.operators.salt import featurize_salted
+    from uncharted_ta1_pipeline_spark.operators.windows import featurize
+    from uncharted_ta1_pipeline_spark.sources.transcripts import load_transcripts
+
+    t = load_transcripts(spark, SF_SMOKE)
+    plain = featurize(t).toPandas()
+    salted = featurize_salted(t, chunk_size=chunk_size).toPandas()
+    _cmp(plain, salted)
+
+
+def test_salted_on_synthetic_hot_conv(spark):
+    """A hot conversation spanning many chunks, with long gaps (session
+    boundaries) landing on chunk edges."""
+    from uncharted_ta1_pipeline_spark.operators.salt import featurize_salted
+    from uncharted_ta1_pipeline_spark.operators.windows import featurize
+    from uncharted_ta1_pipeline_spark.sources.transcripts import synth_transcripts
+
+    t = synth_transcripts(
+        spark, n_convs=20, mean_turns=30, hot_convs=2, hot_turns=3000, seed=7
+    )
+    plain = featurize(t).toPandas()
+    salted = featurize_salted(t, chunk_size=256).toPandas()
+    _cmp(plain, salted)

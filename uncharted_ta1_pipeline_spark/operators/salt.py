@@ -1,0 +1,241 @@
+"""Hot-conversation salting: two-level (chunked) window features.
+
+``Window.partitionBy(conv_id)`` serializes a whole conversation onto one
+task — a conversation with 10^8 turns breaks it (SURVEY.md §7.3).  The
+north_rule therefore requires explicit salting.  For associative prefix
+features the classic two-phase trick applies (the reference's analog is
+tiling + offset-restore, /root/reference/tasks/text_extraction/
+text_extractor.py:350-382 and tiling.py:46-228: process bounded tiles with
+overlap, then shift results back into the global frame):
+
+1. salt each row with ``chunk = floor(turn_idx / chunk_size)`` (turn_idx is
+   the dense stable order, so chunks are balanced and the salt is free);
+2. duplicate boundary rows arithmetically — each chunk's last ``k`` rows
+   are also emitted into the NEXT chunk (tail carries ≈ tile overlap), and
+   each chunk's first row into the PREVIOUS chunk (head carry) — so
+   lag/lead/rolling frames are exact inside one bounded window;
+3. per-(conv, chunk) aggregates — ONE tiny row per chunk — are chained with
+   a second window over chunks and broadcast-joined back to resolve prefix
+   sums, forward-fill, and session-id offsets.
+
+Physical plan: ONE full shuffle+sort on (conv_id, chunk) for the main
+window, one bounded shuffle on (conv_id, tool) for global tool
+first-occurrence, and broadcast joins for the tiny chunk-level tables.
+
+``featurize_salted`` returns exactly the same columns and values as
+``operators.windows.featurize`` (asserted in tests) — it is a physical
+strategy, not a semantic change.  ``featurize_hybrid`` routes only
+oversized conversations through it.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+DEFAULT_CHUNK = 16384
+DEFAULT_HOT_THRESHOLD = 65536
+
+
+def featurize_hybrid(
+    df: DataFrame,
+    hot_threshold: int = DEFAULT_HOT_THRESHOLD,
+    chunk_size: int = DEFAULT_CHUNK,
+    rolling_width: int = 5,
+    gap_s: int = 1800,
+) -> DataFrame:
+    """Route conversations by size: the few above ``hot_threshold`` turns
+    take the chunked/salted path; everything else takes the plain
+    single-shuffle window path.  Mirrors the reference's policy of tiling
+    only oversized inputs (text_extractor.py:350-355: tile only when the
+    image exceeds the pixel limit).  Same output as ``featurize`` for any
+    routing."""
+    from uncharted_ta1_pipeline_spark.operators.windows import featurize
+
+    # Planning decision, evaluated eagerly (like AQE's runtime stats): the
+    # hot list is by construction tiny — at most |data| / hot_threshold
+    # conversations — so it collects to the driver and becomes a pushed-down
+    # isin predicate, avoiding any split join.
+    hot_list = [
+        r[0]
+        for r in df.groupBy("conv_id")
+        .agg(F.count(F.lit(1)).alias("_n_conv"))
+        .filter(F.col("_n_conv") > hot_threshold)
+        .select("conv_id")
+        .collect()
+    ]
+    if not hot_list:
+        return featurize(df, rolling_width=rolling_width)
+    cold_f = featurize(
+        df.filter(~F.col("conv_id").isin(hot_list)), rolling_width=rolling_width
+    )
+    hot_f = featurize_salted(
+        df.filter(F.col("conv_id").isin(hot_list)),
+        chunk_size=chunk_size,
+        rolling_width=rolling_width,
+        gap_s=gap_s,
+    )
+    return cold_f.unionByName(hot_f.select(*cold_f.columns))
+
+
+def featurize_salted(
+    df: DataFrame,
+    chunk_size: int = DEFAULT_CHUNK,
+    rolling_width: int = 5,
+    gap_s: int = 1800,
+) -> DataFrame:
+    """Salted equivalent of ``operators.windows.featurize``.
+
+    Requires ``turn_idx`` to be the dense 0-based stable order within each
+    conversation (the ingest invariant), aligned with (ts, turn_idx) order.
+    """
+    k = rolling_width
+    cs = chunk_size
+    non_empty = F.col("tool").isNotNull() & (F.col("tool") != "")
+
+    base = (
+        df.withColumn("_us", F.unix_micros(F.col("ts")))
+        .withColumn("_chunk", F.floor(F.col("turn_idx") / F.lit(cs)))
+        .withColumn("_used", non_empty.cast("long"))
+        .withColumn(
+            # global first occurrence of each tool: partitioned by
+            # (conv, tool), so a hot conversation splits across its tool
+            # vocabulary; per-row work is a single row_number.
+            "_first_use",
+            (
+                (
+                    F.row_number().over(
+                        Window.partitionBy("conv_id", "tool").orderBy("ts", "turn_idx")
+                    )
+                    == 1
+                )
+                & non_empty
+            ).cast("long"),
+        )
+    )
+
+    # ---- arithmetic carry routing (≈ tile overlap) --------------------------
+    # real row -> its own chunk; last k rows of a chunk -> next chunk (tail
+    # carries, give exact lag/rolling at the boundary); first row of a chunk
+    # -> previous chunk (head carry, gives exact lead).
+    tgt_t = "array<struct<tgt:bigint,kind:int>>"
+    targets = F.concat(
+        F.array(F.struct(F.col("_chunk").alias("tgt"), F.lit(0).alias("kind"))),
+        F.when(
+            F.col("turn_idx") >= (F.col("_chunk") + 1) * cs - k,
+            F.array(
+                F.struct((F.col("_chunk") + 1).alias("tgt"), F.lit(1).alias("kind"))
+            ),
+        ).otherwise(F.expr(f"CAST(array() AS {tgt_t})")),
+        F.when(
+            (F.col("turn_idx") % cs == 0) & (F.col("_chunk") > 0),
+            F.array(
+                F.struct((F.col("_chunk") - 1).alias("tgt"), F.lit(2).alias("kind"))
+            ),
+        ).otherwise(F.expr(f"CAST(array() AS {tgt_t})")),
+    )
+    stream = base.withColumn("_t", F.explode(targets)).select(
+        "*", F.col("_t.tgt").alias("_tgt"), F.col("_t.kind").alias("_kind")
+    )
+
+    # ---- the ONE bounded window: (conv, target-chunk) in true turn order ----
+    w = Window.partitionBy("conv_id", "_tgt").orderBy("ts", "turn_idx")
+    past = w.rowsBetween(Window.unboundedPreceding, -1)
+    incl = w.rowsBetween(Window.unboundedPreceding, 0)
+    roll = w.rowsBetween(-k, -1)
+    real = F.col("_kind") == 0
+    rflag = real.cast("long")
+
+    a = (
+        stream
+        # carries sit exactly where the true neighbours sit, so plain
+        # lag/lead over the augmented stream are the true lag/lead:
+        .withColumn("_lag", F.lag(F.struct("role", "tool", "_us")).over(w))
+        .withColumn("next_role", F.lead("role").over(w))
+        # within-chunk prefix sums count REAL rows only (carries are
+        # duplicates; prior chunks arrive via offsets):
+        .withColumn("_p_turns", F.coalesce(F.sum(rflag).over(past), F.lit(0)))
+        .withColumn(
+            "_p_tools",
+            F.coalesce(F.sum(F.when(real, F.col("_used"))).over(past), F.lit(0)),
+        )
+        .withColumn(
+            "_p_firsts",
+            F.coalesce(F.sum(F.when(real, F.col("_first_use"))).over(past), F.lit(0)),
+        )
+        .withColumn(
+            "_p_ffill",
+            F.last(F.when(real & non_empty, F.col("tool")), ignorenulls=True).over(
+                past
+            ),
+        )
+        # rolling frames DO count carries — they are the true last-k turns:
+        .withColumn("rolling_turns_%d" % k, F.coalesce(F.count(F.lit(1)).over(roll), F.lit(0)))
+        .withColumn("rolling_tools_%d" % k, F.coalesce(F.sum("_used").over(roll), F.lit(0)))
+        .withColumn("rolling_signal_mean_%d" % k, F.round(F.avg("signal").over(roll), 6))
+        .withColumn("prev_role", F.col("_lag.role"))
+        .withColumn("prev_tool", F.col("_lag.tool"))
+        .withColumn(
+            "secs_since_prev",
+            F.round((F.col("_us") - F.col("_lag._us")) / F.lit(1000000.0), 6),
+        )
+        .withColumn(
+            "role_transition",
+            F.concat(
+                F.coalesce(F.col("prev_role"), F.lit("START")),
+                F.lit("->"),
+                F.col("role"),
+            ),
+        )
+        .withColumn(
+            "_is_new",
+            (
+                F.col("_lag._us").isNull()
+                | ((F.col("_us") - F.col("_lag._us")) > F.lit(gap_s * 1_000_000))
+            ).cast("long"),
+        )
+        .withColumn(
+            "_p_sess", F.sum(F.when(real, F.col("_is_new"))).over(incl)
+        )
+    )
+
+    # ---- chunk summaries (ONE tiny row per (conv, chunk)) -------------------
+    reals = a.filter(real)
+    sums = reals.groupBy("conv_id", "_tgt").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_used").alias("_tools"),
+        F.sum("_first_use").alias("_firsts"),
+        F.sum("_is_new").alias("_sess"),
+        F.max(F.when(non_empty, F.struct("ts", "turn_idx", "tool"))).alias("_lt"),
+    )
+    w_chain = Window.partitionBy("conv_id").orderBy("_tgt")
+    prior = w_chain.rowsBetween(Window.unboundedPreceding, -1)
+    offsets = sums.select(
+        "conv_id",
+        "_tgt",
+        F.coalesce(F.sum("_n").over(prior), F.lit(0)).alias("_off_turns"),
+        F.coalesce(F.sum("_tools").over(prior), F.lit(0)).alias("_off_tools"),
+        F.coalesce(F.sum("_firsts").over(prior), F.lit(0)).alias("_off_firsts"),
+        F.coalesce(F.sum("_sess").over(prior), F.lit(0)).alias("_off_sess"),
+        F.last(F.col("_lt.tool"), ignorenulls=True).over(prior).alias("_carry_ffill"),
+    )
+
+    out = (
+        reals.join(F.broadcast(offsets), on=["conv_id", "_tgt"], how="left")
+        .withColumn("turns_so_far", F.col("_p_turns") + F.col("_off_turns"))
+        .withColumn("tools_so_far", F.col("_p_tools") + F.col("_off_tools"))
+        .withColumn(
+            "distinct_tools_so_far", F.col("_p_firsts") + F.col("_off_firsts")
+        )
+        .withColumn("ffill_tool", F.coalesce(F.col("_p_ffill"), F.col("_carry_ffill")))
+        .withColumn(
+            "session_id",
+            (F.col("_p_sess") + F.col("_off_sess") - F.lit(1)).cast("long"),
+        )
+    )
+    drop = [
+        "_us", "_chunk", "_used", "_first_use", "_t", "_tgt", "_kind", "_lag",
+        "_p_turns", "_p_tools", "_p_firsts", "_p_ffill", "_p_sess", "_is_new",
+        "_off_turns", "_off_tools", "_off_firsts", "_off_sess", "_carry_ffill",
+    ]
+    return out.drop(*drop)
