@@ -52,11 +52,15 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from uncharted_ta1_pipeline_spark.plans.queries import QUERIES
+    from uncharted_ta1_pipeline_spark.plans.queries_docs import QUERIES_DOCS
+    from uncharted_ta1_pipeline_spark.plans.queries_ops import QUERIES_OPS
 
-    return dict(QUERIES)
+    return {**QUERIES, **QUERIES_OPS, **QUERIES_DOCS}
 
 
 def oracle_sql() -> dict[str, str]:
     from uncharted_ta1_pipeline_spark.plans.oracles import ORACLES
+    from uncharted_ta1_pipeline_spark.plans.oracles_docs import ORACLES_DOCS
+    from uncharted_ta1_pipeline_spark.plans.oracles_ops import ORACLES_OPS
 
-    return dict(ORACLES)
+    return {**ORACLES, **ORACLES_OPS, **ORACLES_DOCS}

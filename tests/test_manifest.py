@@ -1,0 +1,106 @@
+"""Checkpoint/manifest/resume semantics (SURVEY.md §4 stage-cache row;
+FIXTURES.md §4 fixture test)."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+
+import pyspark.sql.functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+def _load(spark):
+    from uncharted_ta1_pipeline_spark.sources.transcripts import load_transcripts
+
+    return load_transcripts(spark, SF_SMOKE)
+
+
+def test_write_read_roundtrip(spark, tmp_path):
+    from uncharted_ta1_pipeline_spark.plans import manifest as mf
+
+    t = _load(spark)
+    out = str(tmp_path / "stage1")
+    res = mf.write_stage(t, out, "ingest", {"v": 1}, n_buckets=8)
+    assert res.buckets_computed == 8 and res.buckets_skipped == 0
+    back = mf.read_stage(spark, out, "ingest", {"v": 1}, n_buckets=8)
+    assert back.count() == t.count()
+    assert sorted(back.columns) == sorted(t.columns)
+    assert mf.verify_stage(out, res.config_hash, spark)
+
+
+def test_resume_skips_committed_buckets(spark, tmp_path):
+    from uncharted_ta1_pipeline_spark.plans import manifest as mf
+
+    t = _load(spark)
+    out = str(tmp_path / "stage2")
+    mf.write_stage(t, out, "feat", {"v": 1}, n_buckets=8)
+
+    # simulate a mid-run kill: drop 3 manifests (data may or may not
+    # remain — both must be handled; here we also corrupt one bucket dir)
+    manifests = sorted(glob.glob(os.path.join(out, "_manifest", "bucket-*.json")))
+    killed = [manifests[1], manifests[4], manifests[6]]
+    killed_buckets = []
+    for m in killed:
+        with open(m) as f:
+            killed_buckets.append(json.load(f)["bucket"])
+        os.remove(m)
+    shutil.rmtree(os.path.join(out, f"bucket={killed_buckets[0]}"), ignore_errors=True)
+
+    res2 = mf.write_stage(t, out, "feat", {"v": 1}, n_buckets=8)
+    assert res2.buckets_skipped == 5
+    assert res2.buckets_computed == 3
+
+    back = mf.read_stage(spark, out, "feat", {"v": 1}, n_buckets=8)
+    assert back.count() == t.count()
+    assert mf.verify_stage(out, res2.config_hash, spark)
+
+
+def test_config_change_invalidates(spark, tmp_path):
+    from uncharted_ta1_pipeline_spark.plans import manifest as mf
+
+    t = _load(spark)
+    out = str(tmp_path / "stage3")
+    mf.write_stage(t, out, "feat", {"v": 1}, n_buckets=4)
+    res = mf.write_stage(t, out, "feat", {"v": 2}, n_buckets=4)
+    assert res.buckets_computed == 4  # full recompute on config change
+
+
+def test_pipeline_end_to_end_with_halt_and_resume(spark, tmp_path):
+    from uncharted_ta1_pipeline_spark.operators.sessionize import with_sessions
+    from uncharted_ta1_pipeline_spark.operators.windows import with_cumulative
+    from uncharted_ta1_pipeline_spark.plans import manifest as mf
+    from uncharted_ta1_pipeline_spark.plans.pipeline import Pipeline, Stage
+
+    t = _load(spark)
+    wd = str(tmp_path / "wd")
+    stages = [
+        Stage("sessionize", with_sessions, {"gap_s": 1800}),
+        Stage("cumulative", with_cumulative, {}),
+    ]
+    p = Pipeline(stages, wd, n_buckets=8)
+    out1 = p.run(spark, t, run_id="r1").toPandas()
+
+    # wipe one downstream manifest and re-run: only that bucket recomputes
+    m = sorted(glob.glob(os.path.join(wd, "cumulative", "_manifest", "*.json")))[0]
+    os.remove(m)
+    out2 = p.run(spark, t, run_id="r2").toPandas()
+
+    key = ["conv_id", "turn_idx"]
+    a = out1.sort_values(key).reset_index(drop=True)
+    b = out2.sort_values(key).reset_index(drop=True)[out1.columns]
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(a, b, check_like=True)
+
+    metrics = [
+        json.loads(line)
+        for line in open(os.path.join(wd, "metrics.jsonl"))
+    ]
+    r2 = [m for m in metrics if m["run_id"] == "r2"]
+    by_stage = {m["stage_id"]: m for m in r2}
+    assert by_stage["sessionize"]["buckets_computed"] == 0  # fully cached
+    assert by_stage["cumulative"]["buckets_computed"] == 1  # only the wiped one

@@ -1,0 +1,203 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All hashing is built on md5 hex strings so that Spark and the DuckDB oracle
+agree byte-for-byte (both engines emit identical lowercase hex, and hex
+strings compare lexicographically the same way) — no engine-specific hash()
+anywhere.
+
+Scale design:
+- exact: hash-groupBy, one shuffle on the digest.
+- minhash LSH: shingle -> per-seed min-hash -> band keys -> self-join on
+  band key.  The self-join is on the (small-cardinality) band buckets, never
+  a full cross join; at 100 TB the band table is salted by bucket size.
+- n-gram jaccard: candidate pairs via shared-shingle join (inverted index),
+  counts aggregated, jaccard filtered.  Hot shingles should be
+  stop-listed (df cap) at scale; parameterized here.
+- simhash: 16-bit signature via md5-nibble votes; near-dup = small hamming
+  distance on the signature.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+N_SEEDS = 6
+BAND_SIZE = 3  # 6 seeds -> 2 bands of 3
+
+
+def dedup_exact(docs: DataFrame) -> DataFrame:
+    """Exact dedup by content digest; the smallest doc_id survives
+    (hash-groupBy — the canonical web-scale exact dedup)."""
+    h = F.md5(F.col("text"))
+    return (
+        docs.withColumn("_h", h)
+        .groupBy("_h")
+        .agg(
+            F.min("doc_id").alias("survivor_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select("survivor_doc_id", "n_copies")
+    )
+
+
+def _word_shingles(text: F.Column) -> F.Column:
+    """Adjacent word-bigram shingles (order-preserving)."""
+    words = F.split(text, " ")
+    n = F.size(words)
+    idx = F.when(n >= 2, F.sequence(F.lit(0), n - 2)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(
+        idx,
+        lambda i: F.concat(
+            F.element_at(words, i + 1), F.lit("_"), F.element_at(words, i + 2)
+        ),
+    )
+
+
+def minhash_signature(docs: DataFrame, n_seeds: int = N_SEEDS) -> DataFrame:
+    """Per-doc minhash signature: sig[s] = min over shingles of
+    md5(s || '|' || shingle) — a lexicographic min-hash family."""
+    sh = docs.select(
+        "doc_id", F.explode(_word_shingles(F.col("text"))).alias("_sh")
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{s}|"), F.col("_sh")))).alias(f"sig{s}")
+        for s in range(n_seeds)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
+    """Candidate near-duplicate pairs: docs sharing any LSH band
+    (banding: 2 bands x 3 rows over the 6-seed signature)."""
+    sig = minhash_signature(docs)
+    bands = []
+    for b in range(N_SEEDS // BAND_SIZE):
+        cols = [F.col(f"sig{b * BAND_SIZE + i}") for i in range(BAND_SIZE)]
+        bands.append(
+            sig.select(
+                "doc_id",
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("#", *cols)).alias("band_key"),
+            )
+        )
+    banded = bands[0]
+    for extra in bands[1:]:
+        banded = banded.unionByName(extra)
+    l = banded.alias("l")
+    r = banded.alias("r")
+    return (
+        l.join(
+            r,
+            on=[
+                F.col("l.band") == F.col("r.band"),
+                F.col("l.band_key") == F.col("r.band_key"),
+                F.col("l.doc_id") < F.col("r.doc_id"),
+            ],
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, threshold: float = 0.5, max_shingle_df: int = 10_000
+) -> DataFrame:
+    """Near-duplicate pairs by word-bigram Jaccard similarity >= threshold.
+
+    Inverted-index join on shared shingles; ``max_shingle_df`` stop-lists
+    ultra-common shingles (skew guard at scale)."""
+    sh = (
+        docs.select("doc_id", F.explode(_word_shingles(F.col("text"))).alias("_sh"))
+        .distinct()
+    )
+    df_counts = sh.groupBy("_sh").agg(F.count(F.lit(1)).alias("_df"))
+    sh = sh.join(
+        df_counts.filter(F.col("_df") <= max_shingle_df).select("_sh"), on="_sh"
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("_n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(
+            b,
+            on=[
+                F.col("a._sh") == F.col("b._sh"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+            ],
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("_n").alias("_na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("_n").alias("_nb"))
+    return (
+        common.join(sa, on="doc_a")
+        .join(sb, on="doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("_common") / (F.col("_na") + F.col("_nb") - F.col("_common")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+HEX = "0123456789abcdef"
+
+
+def simhash16(docs: DataFrame) -> DataFrame:
+    """16-bit SimHash over word tokens.
+
+    Each token votes its md5's first 4 hex nibbles (16 bits); a signature
+    bit is 1 when the sum of votes is positive.  Nibble -> int is done with
+    strpos over a hex alphabet so Spark and DuckDB agree exactly."""
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("_tok")
+    ).withColumn("_h4", F.substring(F.md5(F.col("_tok")), 1, 4))
+    votes = []
+    for i in range(16):
+        j = i // 4 + 1  # hex char position 1..4
+        k = 3 - (i % 4)  # bit within nibble, MSB first
+        nib = F.position(F.substring(F.col("_h4"), j, 1), F.lit(HEX)) - 1
+        bit = F.floor(nib / (2**k)) % 2
+        votes.append(
+            F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"_v{i}")
+        )
+    g = toks.groupBy("doc_id").agg(*votes)
+    sim = None
+    for i in range(16):
+        term = F.when(F.col(f"_v{i}") > 0, F.lit(2**i)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return g.select("doc_id", sim.cast("int").alias("simhash"))
+
+
+def embedding_cosine_pairs(
+    emb: DataFrame, threshold: float = 0.8, id_col: str = "vec_id"
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine similarity >= threshold.
+
+    Brute-force upper triangle — correct baseline; the LSH-bucketed variant
+    for scale is operators/similarity.py:ann_lsh."""
+    from uncharted_ta1_pipeline_spark.operators.similarity import cosine
+
+    v = emb.select(
+        F.col(id_col), F.col("embedding").cast("array<double>").alias("_v")
+    )
+    a = v.alias("a")
+    b = v.alias("b")
+    return (
+        a.join(b, on=[F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
+        .select(
+            F.col(f"a.{id_col}").alias("vec_a"),
+            F.col(f"b.{id_col}").alias("vec_b"),
+            F.round(cosine(F.col("a._v"), F.col("b._v")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

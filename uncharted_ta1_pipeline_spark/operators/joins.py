@@ -1,0 +1,125 @@
+"""Join operators (SURVEY.md §2.3): coalesce ladder, theta corner join,
+nearest-neighbour join — all group-local, shuffle-once, no cross joins."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+from uncharted_ta1_pipeline_spark.operators.windows import turn_order
+
+
+def coalesce_ladder(df: DataFrame, default_bound: float = 100.0) -> DataFrame:
+    """Prioritized fence ladder (≈ GeoFencer: state-bounds else
+    county-narrowed else country else default,
+    /root/reference/tasks/geo_referencing/geo_fencing.py:88-136):
+
+      fence = conv-level bound (needs >=50 turns)
+        else role-level bound  (max signal over 'user' turns, needs >=10)
+        else global default."""
+    conv_lvl = df.groupBy("conv_id").agg(
+        F.when(F.count(F.lit(1)) >= 50, F.round(F.max("signal"), 6)).alias("_conv_b")
+    )
+    role_lvl = (
+        df.filter(F.col("role") == "user")
+        .groupBy("conv_id")
+        .agg(
+            F.when(F.count(F.lit(1)) >= 10, F.round(F.max("signal"), 6)).alias(
+                "_role_b"
+            )
+        )
+    )
+    return (
+        conv_lvl.join(role_lvl, on="conv_id", how="left")
+        .select(
+            "conv_id",
+            F.round(
+                F.coalesce(F.col("_conv_b"), F.col("_role_b"), F.lit(default_bound)), 6
+            ).alias("fence"),
+            F.when(F.col("_conv_b").isNotNull(), F.lit("conv"))
+            .when(F.col("_role_b").isNotNull(), F.lit("role"))
+            .otherwise(F.lit("default"))
+            .alias("fence_source"),
+        )
+    )
+
+
+def corner_join(df: DataFrame, max_gap_s: int = 60) -> DataFrame:
+    """Theta join of two per-conversation observation sets with
+    each-side-consumed-once semantics (≈ CornerPointExtractor: lon-label ×
+    lat-label centerline intersection, each label used at most once,
+    /root/reference/tasks/geo_referencing/corner_point_extractor.py:57-152).
+
+    Transcript analog: pair each 'user' turn with a 'tool' turn within
+    ``max_gap_s`` seconds; a user turn takes its nearest tool turn, then
+    each tool turn keeps only its nearest claiming user turn (two
+    row_number passes — deterministic at any parallelism)."""
+    us = F.unix_micros(F.col("ts"))
+    u = df.filter(F.col("role") == "user").select(
+        "conv_id", F.col("turn_idx").alias("u_idx"), us.alias("u_us")
+    )
+    t = df.filter(F.col("role") == "tool").select(
+        "conv_id", F.col("turn_idx").alias("t_idx"), us.alias("t_us")
+    )
+    cand = u.join(t, on="conv_id", how="inner").filter(
+        F.abs(F.col("u_us") - F.col("t_us")) <= max_gap_s * 1_000_000
+    )
+    dist = F.abs(F.col("u_us") - F.col("t_us"))
+    w_u = Window.partitionBy("conv_id", "u_idx").orderBy(dist.asc(), F.col("t_idx").asc())
+    w_t = Window.partitionBy("conv_id", "t_idx").orderBy(dist.asc(), F.col("u_idx").asc())
+    return (
+        cand.withColumn("_r1", F.row_number().over(w_u))
+        .filter(F.col("_r1") == 1)
+        .withColumn("_r2", F.row_number().over(w_t))
+        .filter(F.col("_r2") == 1)
+        .select(
+            "conv_id",
+            "u_idx",
+            "t_idx",
+            F.round(dist / F.lit(1000000.0), 6).alias("gap_s"),
+        )
+    )
+
+
+def nearest_join(df: DataFrame) -> DataFrame:
+    """For each 'tool' turn, the nearest 'user' turn in time within the
+    conversation (≈ nearest-OCR-text dip lookup,
+    /root/reference/tasks/point_extraction/point_orientation_extractor.py:262-271).
+
+    No cross join: one ordered window pass computes the previous and next
+    user turn for every row (ffill/bfill of tagged neighbours), then picks
+    the nearer — O(n log n), hot-key-safe via the same chunking as salt.py
+    if ever needed."""
+    us = F.unix_micros(F.col("ts"))
+    w = turn_order()
+    prev_u = F.last(
+        F.when(F.col("role") == "user", F.struct(F.col("turn_idx"), us.alias("us"))),
+        ignorenulls=True,
+    ).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    next_u = F.first(
+        F.when(F.col("role") == "user", F.struct(F.col("turn_idx"), us.alias("us"))),
+        ignorenulls=True,
+    ).over(w.rowsBetween(1, Window.unboundedFollowing))
+    d_prev = us - F.col("_prev.us")
+    d_next = F.col("_next.us") - us
+    return (
+        df.withColumn("_prev", prev_u)
+        .withColumn("_next", next_u)
+        .filter(F.col("role") == "tool")
+        .select(
+            "conv_id",
+            F.col("turn_idx").alias("tool_idx"),
+            F.when(F.col("_prev").isNull(), F.col("_next.turn_idx"))
+            .when(F.col("_next").isNull(), F.col("_prev.turn_idx"))
+            .when(d_next < d_prev, F.col("_next.turn_idx"))
+            .otherwise(F.col("_prev.turn_idx"))  # tie -> earlier turn
+            .alias("nearest_user_idx"),
+            F.round(
+                F.when(F.col("_prev").isNull(), d_next)
+                .when(F.col("_next").isNull(), d_prev)
+                .otherwise(F.least(d_prev, d_next))
+                / F.lit(1000000.0),
+                6,
+            ).alias("nearest_gap_s"),
+        )
+    )

@@ -1,0 +1,206 @@
+"""Per-partition lineage manifests + checkpoint-resume.
+
+Re-expresses the reference's content-addressed per-task cache
+(/root/reference/tasks/common/task.py:188-212: ``fetch_cached_result`` /
+``write_result_to_cache`` keyed by raster + model hash + params, e.g.
+text_extractor.py:188,295 and metadata_extraction.py:453-476) as
+Spark-native per-(stage, config_hash, partition) manifests:
+
+- each stage output is hash-bucketed by ``conv_id`` into ``n_buckets``
+  partitions and written as partitioned parquet (``bucket=K/``);
+- a manifest row ``{stage_id, config_hash, bucket, row_count, checksum,
+  committed_at}`` is committed ATOMICALLY (tmp file + rename) per bucket,
+  only after the bucket's data is fully written;
+- on re-run, committed buckets are anti-joined away (a pushed-down
+  partition filter) and only missing/uncommitted buckets recompute —
+  the north_rule's "resumable from the last committed checkpoint";
+- a config change flips ``config_hash`` and invalidates everything,
+  mirroring the reference's model-hash keys;
+- the row checksum is an order-insensitive sum of xxhash64 over all
+  columns, so a resumed run can be byte-verified against a clean run.
+
+In production the same protocol writes to Iceberg (overwritePartitions +
+a manifest table); this sandbox has no Iceberg runtime jar, so the layer
+uses plain partitioned parquet + JSON manifests with identical semantics.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+from dataclasses import dataclass
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+DEFAULT_BUCKETS = 32
+
+
+def config_hash(config: dict) -> str:
+    """sha256 of the canonical-JSON config (≈ sha256 cache keys,
+    metadata_extraction.py:465-476)."""
+    blob = json.dumps(config, sort_keys=True, separators=(",", ":"))
+    return hashlib.sha256(blob.encode()).hexdigest()[:16]
+
+
+def _manifest_dir(out_dir: str) -> str:
+    return os.path.join(out_dir, "_manifest")
+
+
+def committed_buckets(out_dir: str, cfg_hash: str) -> dict[int, dict]:
+    """Read committed manifest rows matching the config hash."""
+    mdir = _manifest_dir(out_dir)
+    out: dict[int, dict] = {}
+    if not os.path.isdir(mdir):
+        return out
+    for name in os.listdir(mdir):
+        if not name.endswith(".json"):
+            continue
+        with open(os.path.join(mdir, name)) as f:
+            row = json.load(f)
+        if row.get("config_hash") == cfg_hash:
+            out[int(row["bucket"])] = row
+    return out
+
+
+def _bucketed(df: DataFrame, n_buckets: int) -> DataFrame:
+    return df.withColumn(
+        "bucket", F.pmod(F.xxhash64(F.col("conv_id")), F.lit(n_buckets)).cast("int")
+    )
+
+
+def _bucket_checksums(df: DataFrame) -> dict[int, dict]:
+    """Order-insensitive per-bucket row_count + checksum."""
+    cols = [c for c in df.columns if c != "bucket"]
+    rows = (
+        df.withColumn("_h", F.xxhash64(*[F.col(c) for c in cols]))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("row_count"),
+            # xor: order-insensitive and overflow-free under ANSI mode
+            F.expr("bit_xor(_h)").alias("checksum"),
+        )
+        .collect()
+    )
+    return {
+        int(r["bucket"]): {"row_count": r["row_count"], "checksum": str(r["checksum"])}
+        for r in rows
+    }
+
+
+@dataclass
+class StageResult:
+    stage_id: str
+    config_hash: str
+    out_dir: str
+    buckets_total: int
+    buckets_skipped: int
+    buckets_computed: int
+    rows_out: int
+    wall_ms: int
+
+
+def write_stage(
+    df: DataFrame,
+    out_dir: str,
+    stage_id: str,
+    config: dict | None = None,
+    n_buckets: int = DEFAULT_BUCKETS,
+) -> StageResult:
+    """Write a stage output through the manifest layer, skipping buckets
+    already committed under the same config hash (resume)."""
+    t0 = time.time()
+    cfg = dict(config or {})
+    cfg["_stage_id"] = stage_id
+    cfg["_n_buckets"] = n_buckets
+    h = config_hash(cfg)
+
+    done = committed_buckets(out_dir, h)
+    pending = [b for b in range(n_buckets) if b not in done]
+    spark = df.sparkSession
+    rows_out = 0
+    if pending:
+        bdf = _bucketed(df, n_buckets)
+        if len(pending) < n_buckets:
+            bdf = bdf.filter(F.col("bucket").isin(pending))
+        # idempotent per-partition overwrite: a killed run leaves no
+        # manifest, so its partial partitions are rewritten on resume
+        # (≡ the reference's all-or-nothing cached-tile join,
+        # tasks/point_extraction/entities.py:133-159)
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        bdf.write.mode("overwrite").partitionBy("bucket").parquet(out_dir)
+        # commit manifests only for fully-written buckets, atomically
+        try:
+            sums = _bucket_checksums(
+                spark.read.parquet(out_dir).filter(F.col("bucket").isin(pending))
+            )
+        except Exception:
+            sums = {}  # stage produced zero rows: every bucket is empty
+        mdir = _manifest_dir(out_dir)
+        os.makedirs(mdir, exist_ok=True)
+        now = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+        for b in pending:
+            meta = sums.get(b, {"row_count": 0, "checksum": "0"})
+            rows_out += meta["row_count"]
+            row = {
+                "stage_id": stage_id,
+                "config_hash": h,
+                "bucket": b,
+                "committed_at": now,
+                **meta,
+            }
+            tmp = os.path.join(mdir, f".bucket-{b}.json.tmp")
+            dst = os.path.join(mdir, f"bucket-{b}.json")
+            with open(tmp, "w") as f:
+                json.dump(row, f)
+            os.replace(tmp, dst)  # atomic commit point
+    return StageResult(
+        stage_id=stage_id,
+        config_hash=h,
+        out_dir=out_dir,
+        buckets_total=n_buckets,
+        buckets_skipped=len(done),
+        buckets_computed=len(pending),
+        rows_out=rows_out,
+        wall_ms=int((time.time() - t0) * 1000),
+    )
+
+
+def read_stage(
+    spark: SparkSession,
+    out_dir: str,
+    stage_id: str,
+    config: dict | None = None,
+    n_buckets: int = DEFAULT_BUCKETS,
+    require_complete: bool = True,
+) -> DataFrame:
+    """Read back a committed stage (only manifest-committed buckets)."""
+    cfg = dict(config or {})
+    cfg["_stage_id"] = stage_id
+    cfg["_n_buckets"] = n_buckets
+    h = config_hash(cfg)
+    done = committed_buckets(out_dir, h)
+    if require_complete and len(done) < n_buckets:
+        missing = sorted(set(range(n_buckets)) - set(done))
+        raise RuntimeError(
+            f"stage {stage_id}: {len(missing)} uncommitted buckets {missing[:8]}..."
+        )
+    df = spark.read.parquet(out_dir)
+    if len(done) < n_buckets:
+        df = df.filter(F.col("bucket").isin(list(done)))
+    return df.drop("bucket")
+
+
+def verify_stage(out_dir: str, cfg_hash: str, spark: SparkSession) -> bool:
+    """Recompute checksums and compare to the committed manifests."""
+    done = committed_buckets(out_dir, cfg_hash)
+    actual = _bucket_checksums(spark.read.parquet(out_dir))
+    for b, row in done.items():
+        got = actual.get(b)
+        if not got or str(got["checksum"]) != str(row["checksum"]):
+            return False
+        if got["row_count"] != row["row_count"]:
+            return False
+    return True

@@ -1,0 +1,110 @@
+"""Stage DAG with checkpoint-resume, halt propagation, and metrics.
+
+Re-expresses the reference's ``Pipeline.run`` blackboard loop
+(/root/reference/tasks/common/pipeline.py:138-199) and the chained
+RabbitMQ stage sequencing (cdr/chaining_result_subscriber.py:117-137) as
+sequential Spark stages over manifest-committed parquet checkpoints:
+"next request only after result lands" = stage barrier = job boundary.
+
+- Each stage is a pure ``fn(DataFrame) -> DataFrame``.
+- Output goes through plans.manifest.write_stage, so a killed run resumes
+  from the last committed bucket.
+- Per-stage metrics rows (rows out, wall ms, buckets computed/skipped) are
+  appended to ``<workdir>/metrics.jsonl`` (≈ params_used provenance +
+  timing, task.py:75-85, request_client.py:397-417).
+- Halt: a per-conversation predicate computed once; failing conversations
+  are anti-joined out of downstream stages and logged to a quarantine
+  table, mirroring EvaluateHalt/HaltPipeline (task.py:215-254) where the
+  pipeline still emits empty outputs for halted documents
+  (pipeline.py:207-211).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from uncharted_ta1_pipeline_spark.plans import manifest as mf
+
+
+@dataclass
+class Stage:
+    stage_id: str
+    fn: Callable[[DataFrame], DataFrame]
+    config: dict = field(default_factory=dict)
+
+
+def halt_predicate(df: DataFrame, min_turns: int = 2) -> DataFrame:
+    """Conversations that cannot be processed (≈ map_missing,
+    segmenter_utils.py:133-153): fewer than ``min_turns`` turns or no
+    'user' turn.  Returns (conv_id, halt_reason)."""
+    g = df.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("role") == "user").cast("int")).alias("n_user"),
+    )
+    return g.filter((F.col("n") < min_turns) | (F.col("n_user") == 0)).select(
+        "conv_id",
+        F.when(F.col("n") < min_turns, F.lit("too_few_turns"))
+        .otherwise(F.lit("no_user_turns"))
+        .alias("halt_reason"),
+    )
+
+
+class Pipeline:
+    def __init__(self, stages: list[Stage], workdir: str, n_buckets: int = 32):
+        self.stages = stages
+        self.workdir = workdir
+        self.n_buckets = n_buckets
+
+    def _log_metrics(self, run_id: str, stage_id: str, res: mf.StageResult) -> None:
+        os.makedirs(self.workdir, exist_ok=True)
+        row = {
+            "run_id": run_id,
+            "stage_id": stage_id,
+            "rows_out": res.rows_out,
+            "wall_ms": res.wall_ms,
+            "buckets_computed": res.buckets_computed,
+            "buckets_skipped": res.buckets_skipped,
+            "config_hash": res.config_hash,
+            "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        }
+        with open(os.path.join(self.workdir, "metrics.jsonl"), "a") as f:
+            f.write(json.dumps(row) + "\n")
+
+    def run(
+        self,
+        spark: SparkSession,
+        input_df: DataFrame,
+        run_id: str = "run",
+        halt_min_turns: int = 2,
+    ) -> DataFrame:
+        """Execute all stages with checkpoint-resume; returns the final
+        stage's committed output."""
+        # halt once, up front (computed cheaply; quarantined convs skip
+        # every downstream stage but are recorded)
+        halted = halt_predicate(input_df, min_turns=halt_min_turns)
+        hdir = os.path.join(self.workdir, "quarantine")
+        mf.write_stage(
+            halted.withColumnRenamed("conv_id", "conv_id"),
+            hdir,
+            "quarantine",
+            {"min_turns": halt_min_turns},
+            n_buckets=1,
+        )
+        live = input_df.join(halted.select("conv_id"), on="conv_id", how="left_anti")
+
+        cur = live
+        for st in self.stages:
+            out_dir = os.path.join(self.workdir, st.stage_id)
+            res = mf.write_stage(
+                st.fn(cur), out_dir, st.stage_id, st.config, self.n_buckets
+            )
+            self._log_metrics(run_id, st.stage_id, res)
+            cur = mf.read_stage(spark, out_dir, st.stage_id, st.config, self.n_buckets)
+        return cur

@@ -1,0 +1,100 @@
+"""Training-data pipeline queries over documents / embeddings (dedup,
+similarity search, text analysis) — DuckDB twins in plans/oracles_docs.py."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from uncharted_ta1_pipeline_spark.functions.docf import (
+    fingerprint,
+    lang_id,
+    quality_features,
+    token_counts,
+)
+from uncharted_ta1_pipeline_spark.operators import dedup as dd
+from uncharted_ta1_pipeline_spark.operators.similarity import ann_bruteforce, ann_lsh
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def q_dedup_exact(spark, sf_dir):
+    return dd.dedup_exact(_docs(spark, sf_dir))
+
+
+def q_minhash_signature(spark, sf_dir):
+    return dd.minhash_signature(_docs(spark, sf_dir))
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    return dd.minhash_lsh_pairs(_docs(spark, sf_dir))
+
+
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    return dd.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.3)
+
+
+def q_simhash(spark, sf_dir):
+    return dd.simhash16(_docs(spark, sf_dir))
+
+
+def q_embedding_cosine_pairs(spark, sf_dir):
+    return dd.embedding_cosine_pairs(_emb(spark, sf_dir), threshold=0.5)
+
+
+def q_ann_bruteforce(spark, sf_dir):
+    return ann_bruteforce(_emb(spark, sf_dir), n_queries=5, k=10)
+
+
+def q_ann_lsh(spark, sf_dir):
+    return ann_lsh(_emb(spark, sf_dir), n_queries=5, k=10, n_planes=4)
+
+
+def q_lang_id(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        "lang",
+        lang_id(F.col("text")).alias("pred_lang"),
+    )
+
+
+def q_quality_score(spark, sf_dir):
+    return quality_features(_docs(spark, sf_dir)).select(
+        "doc_id", "n_chars", "n_words", "avg_word_len", "punct_ratio",
+        "stop_ratio", "quality_score",
+    )
+
+
+def q_token_count(spark, sf_dir):
+    return token_counts(_docs(spark, sf_dir)).select(
+        "doc_id", "ws_tokens", "re_tokens", "chars_per_token"
+    )
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    return fingerprint(_docs(spark, sf_dir)).select(
+        "doc_id", "fingerprint", "n_distinct_shingles"
+    )
+
+
+QUERIES_DOCS = {
+    "dedup_exact": q_dedup_exact,
+    "minhash_signature": q_minhash_signature,
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "simhash": q_simhash,
+    "embedding_cosine_pairs": q_embedding_cosine_pairs,
+    "ann_bruteforce": q_ann_bruteforce,
+    "ann_lsh": q_ann_lsh,
+    "lang_id": q_lang_id,
+    "quality_score": q_quality_score,
+    "token_count": q_token_count,
+    "doc_fingerprint": q_doc_fingerprint,
+}

@@ -1,0 +1,135 @@
+"""Operator-coverage queries (SURVEY.md §2.2-2.7) over the transcripts
+derivation — each with a DuckDB twin in plans/oracles_ops.py."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from uncharted_ta1_pipeline_spark.functions.textf import extract_ladder, normalize_text
+from uncharted_ta1_pipeline_spark.operators import aggregates as agg
+from uncharted_ta1_pipeline_spark.operators import backfill as bf
+from uncharted_ta1_pipeline_spark.operators import filters as flt
+from uncharted_ta1_pipeline_spark.operators import joins as jn
+from uncharted_ta1_pipeline_spark.operators.outliers import mad_outliers
+from uncharted_ta1_pipeline_spark.plans.pipeline import halt_predicate
+from uncharted_ta1_pipeline_spark.sources.transcripts import load_transcripts
+
+
+def _t(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_transcripts(spark, sf_dir)
+
+
+def q_text_filter(spark, sf_dir):
+    return flt.text_filter(_t(spark, sf_dir)).select("conv_id", "turn_idx", "role")
+
+
+def q_argmax_source_filter(spark, sf_dir):
+    return flt.argmax_source_filter(_t(spark, sf_dir)).select(
+        "conv_id", "turn_idx", "tool"
+    )
+
+
+def q_range_filter_readd(spark, sf_dir):
+    return flt.range_filter_readd(_t(spark, sf_dir)).select(
+        "conv_id", "turn_idx", "status", "adj_signal"
+    )
+
+
+def q_token_budget_filter(spark, sf_dir):
+    return flt.token_budget_filter(_t(spark, sf_dir)).select("conv_id", "turn_idx")
+
+
+def q_conditional_enrich(spark, sf_dir):
+    return flt.conditional_enrich(_t(spark, sf_dir))
+
+
+def q_coalesce_ladder(spark, sf_dir):
+    return jn.coalesce_ladder(_t(spark, sf_dir))
+
+
+def q_corner_join(spark, sf_dir):
+    return jn.corner_join(_t(spark, sf_dir))
+
+
+def q_nearest_join(spark, sf_dir):
+    return jn.nearest_join(_t(spark, sf_dir))
+
+
+def q_confidence_product(spark, sf_dir):
+    return agg.confidence_product(_t(spark, sf_dir))
+
+
+def q_source_histogram(spark, sf_dir):
+    return agg.source_histogram(_t(spark, sf_dir))
+
+
+def q_rmse_score(spark, sf_dir):
+    return agg.rmse_score(_t(spark, sf_dir))
+
+
+def q_weighted_centroid(spark, sf_dir):
+    return agg.weighted_centroid(_t(spark, sf_dir))
+
+
+def q_topk_with_ties(spark, sf_dir):
+    return agg.topk_with_ties(_t(spark, sf_dir))
+
+
+def q_dedup_overlap(spark, sf_dir):
+    return agg.dedup_overlap(_t(spark, sf_dir))
+
+
+def q_quadrant_coverage(spark, sf_dir):
+    return agg.quadrant_coverage(_t(spark, sf_dir))
+
+
+def q_inference_backfill(spark, sf_dir):
+    return bf.inference_backfill(_t(spark, sf_dir))
+
+
+def q_anchor_fallback(spark, sf_dir):
+    return bf.anchor_fallback(_t(spark, sf_dir))
+
+
+def q_mad_outliers(spark, sf_dir):
+    return mad_outliers(_t(spark, sf_dir))
+
+
+def q_extract_ladder(spark, sf_dir):
+    t = _t(spark, sf_dir)
+    return t.select(
+        "conv_id",
+        "turn_idx",
+        extract_ladder(F.col("text")).alias("extracted"),
+        normalize_text(F.col("text")).alias("normalized"),
+    )
+
+
+def q_halt_predicate(spark, sf_dir):
+    # threshold high enough to actually halt some conversations at sf0.01
+    return halt_predicate(_t(spark, sf_dir), min_turns=50)
+
+
+QUERIES_OPS = {
+    "text_filter": q_text_filter,
+    "argmax_source_filter": q_argmax_source_filter,
+    "range_filter_readd": q_range_filter_readd,
+    "token_budget_filter": q_token_budget_filter,
+    "conditional_enrich": q_conditional_enrich,
+    "coalesce_ladder": q_coalesce_ladder,
+    "corner_join": q_corner_join,
+    "nearest_join": q_nearest_join,
+    "confidence_product": q_confidence_product,
+    "source_histogram": q_source_histogram,
+    "rmse_score": q_rmse_score,
+    "weighted_centroid": q_weighted_centroid,
+    "topk_with_ties": q_topk_with_ties,
+    "dedup_overlap": q_dedup_overlap,
+    "quadrant_coverage": q_quadrant_coverage,
+    "inference_backfill": q_inference_backfill,
+    "anchor_fallback": q_anchor_fallback,
+    "mad_outliers": q_mad_outliers,
+    "extract_ladder": q_extract_ladder,
+    "halt_predicate": q_halt_predicate,
+}
