@@ -23,11 +23,11 @@ def entry(spark: SparkSession) -> DataFrame:
     (sessionize + lag/lead + cumulative + rolling + ffill) at sf0.001."""
     import pyspark.sql.functions as F
 
-    from uncharted_ta1_pipeline_spark.operators.windows import featurize
+    from uncharted_ta1_pipeline_spark.operators.salt import featurize_hybrid
     from uncharted_ta1_pipeline_spark.sources.transcripts import load_transcripts
 
     t = load_transcripts(spark, "/root/testdata/sf0.001")
-    out = featurize(t)
+    out = featurize_hybrid(t)
     return out.select(
         "conv_id",
         "turn_idx",

@@ -58,6 +58,8 @@ def main() -> None:
     from uncharted_ta1_pipeline_spark.operators.salt import featurize_hybrid
     from uncharted_ta1_pipeline_spark.operators.sessionize import session_stats
     from uncharted_ta1_pipeline_spark.plans.queries import QUERIES
+    from uncharted_ta1_pipeline_spark.plans.queries_docs import QUERIES_DOCS
+    from uncharted_ta1_pipeline_spark.plans.queries_ops import QUERIES_OPS
     from uncharted_ta1_pipeline_spark.session import get_spark
     from uncharted_ta1_pipeline_spark.sources.transcripts import (
         load_transcripts,
@@ -120,6 +122,11 @@ def main() -> None:
         timings["session_stats"] = materialize(session_stats(t))
         for name, fn in QUERIES.items():
             timings[f"q_{name}"] = materialize(fn(spark, args.sf_dir))
+        # full operator surface, one timed run each (coverage over precision)
+        for name, fn in {**QUERIES_OPS, **QUERIES_DOCS}.items():
+            timings[f"q_{name}"] = materialize(
+                fn(spark, args.sf_dir), warmup=1, runs=1
+            )
 
     total = sum(timings.values())
     result = {

@@ -1,0 +1,133 @@
+"""Streaming variants: file-source micro-batch run compared against the
+batch sessionizer on the same data."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+def _write_input(spark, tmp_path):
+    from uncharted_ta1_pipeline_spark.sources.transcripts import load_transcripts
+
+    src = str(tmp_path / "stream_src")
+    load_transcripts(spark, SF_SMOKE).coalesce(4).write.parquet(src)
+    return src
+
+
+def test_stream_sessionize_matches_batch(spark, tmp_path):
+    from uncharted_ta1_pipeline_spark.operators.sessionize import session_stats
+    from uncharted_ta1_pipeline_spark.sources.transcripts import load_transcripts
+    from uncharted_ta1_pipeline_spark.streaming.sessions import stream_sessionize
+
+    src = _write_input(spark, tmp_path)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    # watermark wider than the data span + complete mode: availableNow may
+    # run several micro-batches, and rows arriving out of event-time order
+    # in a later batch would (correctly) be dropped by a tight watermark —
+    # that late-data behavior is probed separately below.  Complete mode
+    # emits all sessions regardless of watermark progress.
+    q = (
+        stream_sessionize(stream, gap_s=1800, watermark_s=90 * 24 * 3600)
+        .writeStream.format("memory")
+        .queryName("sessions_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt1"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "select conv_id, n_turns, n_tool_turns from sessions_out"
+    ).toPandas()
+
+    # session_window treats a gap of EXACTLY the threshold as a new session
+    # (half-open [start, start+gap) windows); gap_us = gap*1e6 - 1 gives the
+    # batch sessionizer identical semantics.
+    want = (
+        session_stats(
+            load_transcripts(spark, SF_SMOKE), gap_us=1800 * 1_000_000 - 1
+        )
+        .select("conv_id", "n_turns", "n_tool_turns")
+        .toPandas()
+    )
+    key = ["conv_id", "n_turns", "n_tool_turns"]
+    got_s = got.sort_values(key).reset_index(drop=True)
+    want_s = want.sort_values(key).reset_index(drop=True)
+    assert len(got_s) == len(want_s)
+    assert got_s.equals(want_s)
+
+
+def test_stream_late_data_dropped(spark, tmp_path):
+    """With a tight watermark and multiple micro-batches, rows older than
+    the watermark are dropped — the bounded-lateness discipline (the
+    streaming analog of the reference's bounded redelivery)."""
+    from uncharted_ta1_pipeline_spark.sources.transcripts import load_transcripts
+    from uncharted_ta1_pipeline_spark.streaming.sessions import stream_sessionize
+
+    src = str(tmp_path / "late_src")
+    t = load_transcripts(spark, SF_SMOKE)
+    n_in = t.count()
+    t.coalesce(4).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)  # force several micro-batches
+        .parquet(src)
+    )
+    q = (
+        stream_sessionize(stream, gap_s=1800, watermark_s=3600)
+        .writeStream.format("memory")
+        .queryName("late_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_late"))
+        .start()
+    )
+    q.awaitTermination(120)
+    n_out = spark.sql("select sum(n_turns) s from late_out").collect()[0].s
+    assert n_out < n_in  # some late rows were (correctly) dropped
+    assert n_out > n_in * 0.5  # but not wholesale
+
+
+def test_stream_running_features(spark, tmp_path):
+    from uncharted_ta1_pipeline_spark.sources.transcripts import load_transcripts
+    from uncharted_ta1_pipeline_spark.streaming.sessions import (
+        stream_running_features,
+    )
+
+    src = _write_input(spark, tmp_path)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        stream_running_features(stream)
+        .writeStream.format("memory")
+        .queryName("running_out")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "select conv_id, max(turns_so_far) turns, max(tools_so_far) tools "
+        "from running_out group by conv_id"
+    ).toPandas()
+
+    t = load_transcripts(spark, SF_SMOKE)
+    want = (
+        t.groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).alias("turns"),
+            F.sum(
+                (F.col("tool").isNotNull() & (F.col("tool") != "")).cast("long")
+            ).alias("tools"),
+        )
+        .toPandas()
+    )
+    key = ["conv_id"]
+    got_s = got.sort_values(key).reset_index(drop=True)
+    want_s = want.sort_values(key).reset_index(drop=True)[got_s.columns]
+    assert got_s.equals(want_s)

@@ -105,12 +105,14 @@ def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
 
 
 def ngram_jaccard_pairs(
-    docs: DataFrame, threshold: float = 0.5, max_shingle_df: int = 10_000
+    docs: DataFrame, threshold: float = 0.5, max_shingle_df: int = 200
 ) -> DataFrame:
     """Near-duplicate pairs by word-bigram Jaccard similarity >= threshold.
 
     Inverted-index join on shared shingles; ``max_shingle_df`` stop-lists
-    ultra-common shingles (skew guard at scale)."""
+    shingles appearing in more documents than the cap — they are
+    non-discriminative AND they blow the candidate-pair count up
+    quadratically (the skew guard that makes this viable at scale)."""
     sh = (
         docs.select("doc_id", F.explode(_word_shingles(F.col("text"))).alias("_sh"))
         .distinct()
@@ -179,25 +181,64 @@ def simhash16(docs: DataFrame) -> DataFrame:
 
 
 def embedding_cosine_pairs(
-    emb: DataFrame, threshold: float = 0.8, id_col: str = "vec_id"
+    emb: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "vec_id",
+    block_size: int = 2048,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine similarity >= threshold.
 
-    Brute-force upper triangle — correct baseline; the LSH-bucketed variant
-    for scale is operators/similarity.py:ann_lsh."""
-    from uncharted_ta1_pipeline_spark.operators.similarity import cosine
+    Blocked brute force: vectors are packed into id-range blocks, block
+    PAIRS are joined (upper triangle), and each block-pair is scored with
+    one vectorized numpy matmul inside ``mapInPandas`` — O(n^2 d) flops but
+    BLAS-vectorized and distributed by block pair, with memory bounded by
+    block_size^2.  (Per-pair Catalyst higher-order functions don't codegen
+    and are ~50x slower.)  The LSH-bucketed sublinear variant is
+    operators/similarity.py:ann_lsh."""
+    from collections.abc import Iterator
 
     v = emb.select(
-        F.col(id_col), F.col("embedding").cast("array<double>").alias("_v")
+        F.col(id_col).alias("_id"), F.col("embedding").cast("array<double>").alias("_v")
+    ).withColumn("_blk", F.floor(F.col("_id") / block_size).cast("int"))
+    packed = v.groupBy("_blk").agg(
+        F.collect_list(F.struct("_id", "_v")).alias("_rows")
     )
-    a = v.alias("a")
-    b = v.alias("b")
-    return (
-        a.join(b, on=[F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
+    bp = (
+        packed.alias("a")
+        .join(packed.alias("b"), F.col("a._blk") <= F.col("b._blk"))
         .select(
-            F.col(f"a.{id_col}").alias("vec_a"),
-            F.col(f"b.{id_col}").alias("vec_b"),
-            F.round(cosine(F.col("a._v"), F.col("b._v")), 6).alias("cosine"),
+            F.col("a._blk").alias("blk_a"),
+            F.col("b._blk").alias("blk_b"),
+            F.col("a._rows").alias("rows_a"),
+            F.col("b._rows").alias("rows_b"),
         )
-        .filter(F.col("cosine") >= threshold)
     )
+
+    def score(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out_a, out_b, out_c = [], [], []
+            for _, row in pdf.iterrows():
+                ida = np.array([r["_id"] for r in row.rows_a])
+                idb = np.array([r["_id"] for r in row.rows_b])
+                va = np.array([r["_v"] for r in row.rows_a])
+                vb = np.array([r["_v"] for r in row.rows_b])
+                va = va / np.linalg.norm(va, axis=1, keepdims=True)
+                vb = vb / np.linalg.norm(vb, axis=1, keepdims=True)
+                sim = np.round(va @ vb.T, 6)
+                ia, ib = np.where(sim >= threshold)
+                keep = ida[ia] < idb[ib]
+                out_a.append(ida[ia][keep])
+                out_b.append(idb[ib][keep])
+                out_c.append(sim[ia[keep], ib[keep]])
+            yield pd.DataFrame(
+                {
+                    "vec_a": np.concatenate(out_a) if out_a else [],
+                    "vec_b": np.concatenate(out_b) if out_b else [],
+                    "cosine": np.concatenate(out_c) if out_c else [],
+                }
+            )
+
+    return bp.mapInPandas(score, "vec_a long, vec_b long, cosine double")

@@ -22,14 +22,20 @@ from uncharted_ta1_pipeline_spark.operators.windows import turn_order
 DEFAULT_GAP_S = 1800
 
 
-def with_sessions(df: DataFrame, gap_s: int = DEFAULT_GAP_S) -> DataFrame:
-    """Add ``session_id`` (0-based per conversation)."""
+def with_sessions(
+    df: DataFrame, gap_s: int = DEFAULT_GAP_S, gap_us: int | None = None
+) -> DataFrame:
+    """Add ``session_id`` (0-based per conversation).
+
+    A new session starts when the gap to the previous turn is strictly
+    greater than the threshold.  ``gap_us`` overrides at microsecond
+    precision (``gap_s * 1e6 - 1`` reproduces the half-open semantics of
+    Structured Streaming's ``session_window``)."""
     w = turn_order()
     us = F.unix_micros(F.col("ts"))
     prev_us = F.lag(us).over(w)
-    is_new = (
-        prev_us.isNull() | ((us - prev_us) > F.lit(gap_s * 1_000_000))
-    ).cast("long")
+    threshold = gap_us if gap_us is not None else gap_s * 1_000_000
+    is_new = (prev_us.isNull() | ((us - prev_us) > F.lit(threshold))).cast("long")
     return df.withColumn(
         "session_id",
         (
@@ -38,13 +44,15 @@ def with_sessions(df: DataFrame, gap_s: int = DEFAULT_GAP_S) -> DataFrame:
     )
 
 
-def session_stats(df: DataFrame, gap_s: int = DEFAULT_GAP_S) -> DataFrame:
+def session_stats(
+    df: DataFrame, gap_s: int = DEFAULT_GAP_S, gap_us: int | None = None
+) -> DataFrame:
     """Per-session aggregate summary (count, span, tool usage, roles).
 
     Analog of the reference's per-segment stats / rank_segments inputs
     (segmenter_utils.py:20-37).
     """
-    s = with_sessions(df, gap_s)
+    s = with_sessions(df, gap_s, gap_us)
     us = F.unix_micros(F.col("ts"))
     return s.groupBy("conv_id", "session_id").agg(
         F.count(F.lit(1)).alias("n_turns"),

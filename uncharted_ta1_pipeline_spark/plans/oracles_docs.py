@@ -64,7 +64,7 @@ ORACLES_DOCS["ngram_jaccard_pairs"] = f"""
 WITH {_SHINGLES},
 dsh AS (SELECT DISTINCT doc_id, sh FROM sh),
 keep AS (
-  SELECT sh FROM dsh GROUP BY sh HAVING count(*) <= 10000
+  SELECT sh FROM dsh GROUP BY sh HAVING count(*) <= 200
 ),
 fsh AS (SELECT d.* FROM dsh d JOIN keep k ON d.sh = k.sh),
 sizes AS (SELECT doc_id, count(*) AS n FROM fsh GROUP BY doc_id),

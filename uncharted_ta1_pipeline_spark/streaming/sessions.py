@@ -1,0 +1,87 @@
+"""Structured Streaming variants of the engine's stateful stages.
+
+The reference's streaming layer is queue-orchestration (RabbitMQ
+at-least-once with bounded redelivery, /root/reference/tasks/common/
+request_client.py:161-262) — no event-time semantics.  The engine's primary
+mode is therefore batch + resumable manifests (SURVEY.md §2.10).  These
+streaming variants exist for incremental ingestion of live transcript
+feeds:
+
+- ``stream_sessionize``: gap-based sessions via ``session_window`` +
+  watermark (late turns beyond the watermark are dropped, mirroring the
+  queue's bounded redelivery discipline);
+- ``stream_running_features``: per-conversation running counters via
+  ``applyInPandasWithState`` (GroupState timeout cleans up idle
+  conversations).
+
+Both read any streaming source with the canonical transcript schema
+(file/kafka/rate); checkpointing is Spark's own streaming checkpoint.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+SESSION_SCHEMA = (
+    "conv_id string, session_start timestamp, session_end timestamp, "
+    "n_turns long, n_tool_turns long"
+)
+
+RUNNING_SCHEMA = "conv_id string, turns_so_far long, tools_so_far long"
+STATE_SCHEMA = "turns long, tools long"
+
+
+def stream_sessionize(
+    stream: DataFrame, gap_s: int = 1800, watermark_s: int = 3600
+) -> DataFrame:
+    """Gap-based session aggregation over an event-time stream."""
+    return (
+        stream.withWatermark("ts", f"{watermark_s} seconds")
+        .groupBy(
+            F.col("conv_id"),
+            F.session_window(F.col("ts"), f"{gap_s} seconds"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.sum(
+                (F.col("tool").isNotNull() & (F.col("tool") != "")).cast("long")
+            ).alias("n_tool_turns"),
+        )
+        .select(
+            "conv_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_turns",
+            "n_tool_turns",
+        )
+    )
+
+
+def stream_running_features(stream: DataFrame) -> DataFrame:
+    """Custom stateful operator: running per-conversation counters kept in
+    GroupState across micro-batches (the streaming twin of
+    operators.windows.with_cumulative)."""
+    import pandas as pd
+
+    def update(key, pdfs, state: GroupState):
+        turns, tools = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            turns += len(pdf)
+            tools += int(
+                ((pdf["tool"].notna()) & (pdf["tool"] != "")).sum()
+            )
+        state.update((turns, tools))
+        state.setTimeoutDuration(24 * 3600 * 1000)
+        yield pd.DataFrame(
+            {"conv_id": [key[0]], "turns_so_far": [turns], "tools_so_far": [tools]}
+        )
+
+    return stream.groupBy("conv_id").applyInPandasWithState(
+        update,
+        outputStructType=RUNNING_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
