@@ -7,6 +7,7 @@ from uncharted_ta1_pipeline_spark.sources.transcripts import TRANSCRIPTS_CTE
 _T = f"WITH {TRANSCRIPTS_CTE}"
 _ORD = "PARTITION BY conv_id ORDER BY ts, turn_idx"
 US = "epoch_us(ts)"
+_TOOL_USED = "CASE WHEN tool IS NOT NULL AND tool <> '' THEN 1 ELSE 0 END"
 
 ORACLES_OPS: dict[str, str] = {}
 
@@ -377,3 +378,50 @@ SELECT conv_id,
        CASE WHEN n < 50 THEN 'too_few_turns' ELSE 'no_user_turns' END AS halt_reason
 FROM g WHERE n < 50 OR n_user = 0
 """
+
+
+ORACLES_OPS["featurize_full"] = f"""
+{_T},
+l1 AS (
+  SELECT conv_id, turn_idx, role, text, tool, signal,
+         {US} AS us,
+         lag(role)  OVER ({_ORD}) AS prev_role,
+         lead(role) OVER ({_ORD}) AS next_role,
+         lag({US})  OVER ({_ORD}) AS prev_us,
+         CASE WHEN row_number() OVER (PARTITION BY conv_id, tool ORDER BY ts, turn_idx) = 1
+                   AND tool IS NOT NULL AND tool <> '' THEN 1 ELSE 0 END AS first_tool_use,
+         coalesce(count(*) OVER ({_ORD} ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS turns_so_far,
+         CAST(coalesce(sum({_TOOL_USED}) OVER ({_ORD} ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tools_so_far,
+         coalesce(count(*) OVER ({_ORD} ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING), 0) AS rolling_turns_5,
+         CAST(coalesce(sum({_TOOL_USED}) OVER ({_ORD} ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS rolling_tools_5,
+         round(avg(signal) OVER ({_ORD} ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING), 6) AS rolling_signal_mean_5,
+         last_value(CASE WHEN tool IS NOT NULL AND tool <> '' THEN tool END IGNORE NULLS)
+           OVER ({_ORD} ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ffill_tool,
+         ts
+  FROM transcripts
+),
+l2 AS (
+  SELECT *,
+         CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END AS is_new
+  FROM l1
+)
+SELECT conv_id, turn_idx, role, text, tool, us AS ts_us,
+       CAST(sum(is_new) OVER ({_ORD} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS BIGINT) AS session_id,
+       prev_role, next_role,
+       concat(coalesce(prev_role, 'START'), '->', role) AS role_transition,
+       round((us - prev_us) / 1000000.0, 6) AS secs_since_prev,
+       turns_so_far, tools_so_far,
+       CAST(coalesce(sum(first_tool_use) OVER ({_ORD} ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS distinct_tools_so_far,
+       rolling_turns_5, rolling_tools_5, rolling_signal_mean_5, ffill_tool
+FROM l2
+"""
+
+
+# the bucketed physical path must satisfy the identical specification
+def _link_bucketed():
+    from uncharted_ta1_pipeline_spark.plans.oracles import ORACLES
+
+    ORACLES_OPS["asof_features_bucketed"] = ORACLES["asof_features"]
+
+
+_link_bucketed()

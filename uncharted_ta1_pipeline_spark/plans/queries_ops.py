@@ -133,3 +133,46 @@ QUERIES_OPS = {
     "extract_ladder": q_extract_ladder,
     "halt_predicate": q_halt_predicate,
 }
+
+
+def q_featurize_full(spark, sf_dir):
+    """The flagship: the COMPLETE leakage-free per-turn feature vector
+    (lag/lead + cumulative + rolling + ffill + sessions) — oracle-checked,
+    including byte-identical text pass-through (the per-row invariant)."""
+    from uncharted_ta1_pipeline_spark.operators.salt import featurize_hybrid
+
+    t = load_transcripts(spark, sf_dir)
+    out = featurize_hybrid(t)
+    return out.select(
+        "conv_id", "turn_idx", "role", "text", "tool",
+        F.unix_micros("ts").alias("ts_us"),
+        "session_id", "prev_role", "next_role", "role_transition",
+        "secs_since_prev", "turns_so_far", "tools_so_far",
+        "distinct_tools_so_far", "rolling_turns_5", "rolling_tools_5",
+        "rolling_signal_mean_5", "ffill_tool",
+    )
+
+
+def q_asof_features_bucketed(spark, sf_dir):
+    """Same as asof_features but through the explicitly salted/bucketed
+    physical path — must hash-match the identical oracle."""
+    from uncharted_ta1_pipeline_spark.operators.asof import asof_join_bucketed
+    from uncharted_ta1_pipeline_spark.plans.queries import asof_state
+    from uncharted_ta1_pipeline_spark.sources.transcripts import make_probes
+
+    t = load_transcripts(spark, sf_dir)
+    out = asof_join_bucketed(
+        make_probes(t), asof_state(t),
+        state_cols=["turn_idx", "last_role", "turns_incl", "tools_incl", "last_session_id"],
+        bucket_s=86_400,
+    )
+    return out.select(
+        "probe_id", "conv_id",
+        F.unix_micros(F.col("probe_ts")).alias("probe_ts_us"),
+        F.col("turn_idx").alias("matched_turn_idx"),
+        "last_role", "turns_incl", "tools_incl", "last_session_id",
+    )
+
+
+QUERIES_OPS["featurize_full"] = q_featurize_full
+QUERIES_OPS["asof_features_bucketed"] = q_asof_features_bucketed
