@@ -82,6 +82,72 @@ def test_poison_future_turns(spark, salted):
     _assert_past_unchanged(base, ext_f, drop_last_per_conv=False)
 
 
+def test_poison_fit_predict_at_probe(spark):
+    """The as-of regression must fit ONLY on turns with ts <= probe_ts:
+    mutating or appending observations AFTER a probe's timestamp must not
+    move that probe's prediction by any amount."""
+    from uncharted_ta1_pipeline_spark.operators.asof import fit_predict_at_probes
+    from uncharted_ta1_pipeline_spark.sources.transcripts import (
+        load_transcripts,
+        make_probes,
+    )
+
+    t = load_transcripts(spark, SF_SMOKE)
+    probes = make_probes(t)
+    base = fit_predict_at_probes(probes, t).toPandas()
+
+    # poison: wreck every conversation's LAST turn's signal, and append a
+    # wild future observation.  Probes strictly before those turns must be
+    # bit-identical.  (make_probes puts probes at turn ts + 90s, so probes
+    # attached to earlier turns precede the last turn whenever the gap to
+    # the last turn exceeds 90s — restrict the comparison to those.)
+    w_last = t.groupBy("conv_id").agg(
+        F.max("turn_idx").alias("_mx"),
+        F.max(F.unix_micros("ts")).alias("_last_us"),
+    )
+    mutated = (
+        t.join(w_last, "conv_id")
+        .withColumn(
+            "signal",
+            F.when(F.col("turn_idx") == F.col("_mx"), F.lit(-424242.0)).otherwise(
+                F.col("signal")
+            ),
+        )
+        .drop("_mx", "_last_us")
+    )
+    extra = (
+        t.join(w_last, "conv_id")
+        .filter(F.col("turn_idx") == F.col("_mx"))
+        .select(
+            "conv_id",
+            (F.col("turn_idx") + 1).cast("int").alias("turn_idx"),
+            F.lit("tool").alias("role"),
+            F.lit("POISON").alias("text"),
+            F.lit("edit").alias("tool"),
+            (F.col("ts") + F.expr("INTERVAL 5 SECOND")).alias("ts"),
+            F.lit(9e7).alias("signal"),
+        )
+    )
+    poisoned = fit_predict_at_probes(probes, mutated.unionByName(extra)).toPandas()
+
+    # keep only probes strictly BEFORE the conversation's last original turn
+    last = (
+        w_last.select("conv_id", "_last_us")
+        .toPandas()
+        .set_index("conv_id")["_last_us"]
+    )
+    strictly_past = base["probe_ts_us"] < base["conv_id"].map(last)
+    assert strictly_past.sum() > 100, "fixture must exercise many past probes"
+    key = ["probe_id"]
+    a = base[strictly_past].sort_values(key).reset_index(drop=True)
+    b = (
+        poisoned.merge(a[key], on=key)
+        .sort_values(key)
+        .reset_index(drop=True)[a.columns]
+    )
+    pd.testing.assert_frame_equal(a, b, check_like=True)
+
+
 def test_duplicate_ts_tie_break(spark):
     """Equal-ts turns are ordered by turn_idx (stable ordering invariant)."""
     from uncharted_ta1_pipeline_spark.operators.windows import featurize

@@ -171,3 +171,116 @@ def asof_join_bucketed(
         "_carry", F.coalesce("_carry_in", "_carry_prev")
     )
     return _unpack(joined, probe_cols, state_cols, probe_tag)
+
+
+# ---------------------------------------------------------------------------
+# Leakage-constrained fit-predict-at-probe — the reference's central operator
+# ---------------------------------------------------------------------------
+def regression_state(
+    df: DataFrame,
+    key: str = "conv_id",
+    ts: str = "ts",
+    y_col: str = "signal",
+    tiebreak: str = "turn_idx",
+) -> DataFrame:
+    """Per-turn INCLUSIVE running sufficient statistics of y ~ x where
+    x = whole seconds since the conversation's first turn and y is the
+    signal quantized to centi-units.
+
+    Integer statistics make the cumulative sums EXACT (no floating-point
+    accumulation-order sensitivity), so the fit is identical at any
+    parallelism and matches the DuckDB oracle bit-for-bit.  At the
+    10^12-turn design point the sums should widen to decimal(38,0); int64
+    is ample at test scale (sxy ~ 1e17 << 2^63).
+
+    Carrying these five numbers through the as-of join IS fitting a
+    regression on observations with ts <= probe_ts: no new shuffle, no
+    refit per probe (/root/reference/tasks/geo_referencing/
+    geo_projection.py:52-115 fits on keypoints and evaluates at query
+    pixels; georeference.py:80-340 orchestrates the probe pass)."""
+    us = F.unix_micros(F.col(ts))
+    w_conv = Window.partitionBy(key)
+    w = (
+        Window.partitionBy(key)
+        .orderBy(ts, tiebreak)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    first_us = F.min(us).over(w_conv)
+    x = F.floor((us - first_us) / F.lit(1_000_000)).cast("long")
+    yc = F.floor(F.col(y_col) * 100 + F.lit(0.5)).cast("long")  # round-half-up
+    return (
+        df.select(key, ts, tiebreak, y_col)
+        .withColumn("_first_us", first_us)
+        .withColumn("_x", x)
+        .withColumn("_yc", yc)
+        .select(
+            key,
+            ts,
+            tiebreak,
+            F.col("_first_us").alias("first_us"),
+            F.count(F.lit(1)).over(w).alias("n_obs"),
+            F.sum("_x").over(w).alias("sx"),
+            F.sum("_yc").over(w).alias("sy"),
+            F.sum(F.col("_x") * F.col("_yc")).over(w).alias("sxy"),
+            F.sum(F.col("_x") * F.col("_x")).over(w).alias("sxx"),
+        )
+    )
+
+
+def fit_predict_at_probes(
+    probes: DataFrame,
+    observations: DataFrame,
+    key: str = "conv_id",
+    probe_ts: str = "probe_ts",
+    obs_ts: str = "ts",
+    y_col: str = "signal",
+    tiebreak: str = "turn_idx",
+) -> DataFrame:
+    """For each probe, fit y ~ seconds-since-first-turn on observations with
+    ``ts <= probe_ts`` ONLY and evaluate the fit at the probe timestamp.
+
+    OLS slope/intercept are recovered from the carried integer sufficient
+    statistics in double precision; degenerate fits (fewer than 2
+    observations, or zero x-variance) fall back to the running mean, and
+    probes before the first observation predict NULL — mirroring the
+    reference's guard that a projection needs >= 2 keypoints
+    (geo_projection.py:52-115).  Zero temporal leakage by construction:
+    the state the probe sees ends strictly at the last turn with
+    ts <= probe_ts (the poison test perturbs future turns and asserts
+    predictions are unchanged)."""
+    state = regression_state(observations, key, obs_ts, y_col, tiebreak)
+    joined = asof_join(
+        probes,
+        state,
+        key=key,
+        probe_ts=probe_ts,
+        state_ts=obs_ts,
+        state_cols=["first_us", "n_obs", "sx", "sy", "sxy", "sxx", tiebreak],
+        strict=False,
+        state_tiebreak=tiebreak,
+    )
+    # double-precision finish: identical expression tree in the oracle
+    n = F.col("n_obs").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    xp = F.floor((F.unix_micros(F.col(probe_ts)) - F.col("first_us")) / F.lit(1_000_000)).cast(
+        "double"
+    )
+    denom = n * sxx - sx * sx
+    slope_c = (n * sxy - sx * sy) / denom
+    intercept_c = (sy - slope_c * sx) / n
+    can_fit = (F.col("n_obs") >= 2) & (denom > 0)
+    pred_c = F.when(can_fit, intercept_c + slope_c * xp).otherwise(sy / n)
+    return joined.select(
+        "probe_id",
+        key,
+        F.unix_micros(F.col(probe_ts)).alias("probe_ts_us"),
+        F.col("n_obs"),
+        F.round(F.when(can_fit, slope_c / 100), 6).alias("slope"),
+        F.round(F.when(can_fit, intercept_c / 100).otherwise(sy / n / 100), 6).alias(
+            "intercept"
+        ),
+        F.round(pred_c / 100, 6).alias("pred"),
+    )

@@ -89,6 +89,13 @@ def featurize_salted(
     Requires ``turn_idx`` to be the dense 0-based stable order within each
     conversation (the ingest invariant), aligned with (ts, turn_idx) order.
     """
+    if chunk_size <= rolling_width:
+        # boundary carries span exactly ONE chunk back; a chunk smaller than
+        # the rolling frame would silently miss rows from two chunks back
+        raise ValueError(
+            f"chunk_size ({chunk_size}) must exceed rolling_width "
+            f"({rolling_width}): tail carries only reach one chunk ahead"
+        )
     k = rolling_width
     cs = chunk_size
     non_empty = F.col("tool").isNotNull() & (F.col("tool") != "")

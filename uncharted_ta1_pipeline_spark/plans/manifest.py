@@ -131,12 +131,19 @@ def write_stage(
         # tasks/point_extraction/entities.py:133-159)
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         bdf.write.mode("overwrite").partitionBy("bucket").parquet(out_dir)
-        # commit manifests only for fully-written buckets, atomically
-        try:
+        # commit manifests only for fully-written buckets, atomically.
+        # A stage may legitimately produce zero rows (no bucket=K/ dirs at
+        # all) — only THAT case may commit row_count=0 manifests; any other
+        # read-back failure must propagate so unverified buckets are never
+        # marked committed.
+        has_data = any(
+            name.startswith("bucket=") for name in os.listdir(out_dir)
+        ) if os.path.isdir(out_dir) else False
+        if has_data:
             sums = _bucket_checksums(
                 spark.read.parquet(out_dir).filter(F.col("bucket").isin(pending))
             )
-        except Exception:
+        else:
             sums = {}  # stage produced zero rows: every bucket is empty
         mdir = _manifest_dir(out_dir)
         os.makedirs(mdir, exist_ok=True)

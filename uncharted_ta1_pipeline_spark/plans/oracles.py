@@ -147,12 +147,85 @@ state AS (
          CAST(sum({_TOOL_USED}) OVER ({_ORD} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tools_incl,
          CAST(sum(is_new) OVER ({_ORD} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS BIGINT) AS last_session_id
   FROM flagged
+),
+-- tie-explicit: ASOF JOIN on probe_ts >= ts is ambiguous when several state
+-- rows share a ts; the engine deterministically keeps the LAST by turn_idx,
+-- so pre-reduce state to one row per (conv_id, ts) the same way.
+state_dedup AS (
+  SELECT * EXCLUDE (_rn) FROM (
+    SELECT *, row_number() OVER (PARTITION BY conv_id, ts
+                                 ORDER BY turn_idx DESC) AS _rn
+    FROM state
+  ) WHERE _rn = 1
 )
 SELECT p.probe_id, p.conv_id,
        epoch_us(p.probe_ts) AS probe_ts_us,
        s.turn_idx AS matched_turn_idx,
        s.last_role, s.turns_incl, s.tools_incl, s.last_session_id
 FROM probes p
-ASOF LEFT JOIN state s
+ASOF LEFT JOIN state_dedup s
   ON p.conv_id = s.conv_id AND p.probe_ts >= s.ts
+"""
+
+# Fit-predict-at-probe: cumulative INTEGER sufficient statistics (exact in
+# both engines regardless of accumulation order), as-of matched to the last
+# observation at or before the probe, OLS recovered in double at the end.
+ORACLES["asof_fit_predict"] = f"""
+{_TP},
+obs AS (
+  SELECT conv_id, ts, turn_idx,
+         min(epoch_us(ts)) OVER (PARTITION BY conv_id) AS first_us,
+         CAST(floor((epoch_us(ts) - min(epoch_us(ts)) OVER (PARTITION BY conv_id))
+              / 1000000) AS BIGINT) AS x,
+         CAST(floor(signal * 100 + 0.5) AS BIGINT) AS yc
+  FROM transcripts
+),
+stats AS (
+  SELECT conv_id, ts, turn_idx, first_us,
+         CAST(count(*) OVER w AS BIGINT) AS n_obs,
+         CAST(sum(x)     OVER w AS BIGINT) AS sx,
+         CAST(sum(yc)    OVER w AS BIGINT) AS sy,
+         CAST(sum(x * yc) OVER w AS BIGINT) AS sxy,
+         CAST(sum(x * x)  OVER w AS BIGINT) AS sxx
+  FROM obs
+  WINDOW w AS ({_ORD} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+stats_dedup AS (
+  SELECT * EXCLUDE (_rn) FROM (
+    SELECT *, row_number() OVER (PARTITION BY conv_id, ts
+                                 ORDER BY turn_idx DESC) AS _rn
+    FROM stats
+  ) WHERE _rn = 1
+),
+joined AS (
+  SELECT p.probe_id, p.conv_id, epoch_us(p.probe_ts) AS probe_ts_us,
+         s.first_us, s.n_obs, s.sx, s.sy, s.sxy, s.sxx
+  FROM probes p
+  ASOF LEFT JOIN stats_dedup s
+    ON p.conv_id = s.conv_id AND p.probe_ts >= s.ts
+),
+fit AS (
+  SELECT probe_id, conv_id, probe_ts_us, n_obs,
+         CAST(n_obs AS DOUBLE) AS n,
+         CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+         CAST(sxy AS DOUBLE) AS sxyd, CAST(sxx AS DOUBLE) AS sxxd,
+         CAST(floor((probe_ts_us - first_us) / 1000000) AS DOUBLE) AS xp,
+         CAST(n_obs AS DOUBLE) * CAST(sxx AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS denom
+  FROM joined
+),
+final AS (
+  SELECT probe_id, conv_id, probe_ts_us, n_obs,
+         n_obs >= 2 AND denom > 0 AS can_fit,
+         (n * sxyd - sxd * syd) / denom AS slope_c,
+         (syd - ((n * sxyd - sxd * syd) / denom) * sxd) / n AS intercept_c,
+         syd / n AS mean_c, xp
+  FROM fit
+)
+SELECT probe_id, conv_id, probe_ts_us, n_obs,
+       round(CASE WHEN can_fit THEN slope_c / 100 END, 6) AS slope,
+       round(CASE WHEN can_fit THEN intercept_c / 100 ELSE mean_c / 100 END, 6) AS intercept,
+       round(CASE WHEN can_fit THEN (intercept_c + slope_c * xp) / 100
+                  ELSE mean_c / 100 END, 6) AS pred
+FROM final
 """

@@ -169,8 +169,22 @@ def q_asof_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_fit_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-constrained fit-predict-at-probe: per-conversation OLS of
+    signal over time fit ONLY on turns with ts <= probe_ts, evaluated at the
+    probe (≈ fit on keypoints / predict at query points,
+    geo_projection.py:52-115 + georeference.py:80-340).  Running integer
+    sufficient statistics carried through the as-of join — no extra
+    shuffle, no per-probe refit."""
+    from uncharted_ta1_pipeline_spark.operators.asof import fit_predict_at_probes
+
+    t = load_transcripts(spark, sf_dir)
+    return fit_predict_at_probes(make_probes(t), t)
+
+
 QUERIES = {
     "ingest_ordered": q_ingest_ordered,
+    "asof_fit_predict": q_asof_fit_predict,
     "sessionize": q_sessionize,
     "lag_lead": q_lag_lead,
     "cumulative": q_cumulative,

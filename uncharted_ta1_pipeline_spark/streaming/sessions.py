@@ -66,6 +66,12 @@ def stream_running_features(stream: DataFrame) -> DataFrame:
     import pandas as pd
 
     def update(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            # idle-conversation cleanup: drop the state, emit nothing, and
+            # do NOT re-arm the timer (re-arming would keep idle state alive
+            # forever and grow the store unboundedly).
+            state.remove()
+            return
         turns, tools = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             turns += len(pdf)
