@@ -5,7 +5,7 @@ unioned back — the reference's derived-keypoint pattern."""
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 
 
 def inference_backfill(df: DataFrame) -> DataFrame:
@@ -47,7 +47,7 @@ def inference_backfill(df: DataFrame) -> DataFrame:
     return base.unionByName(synth)
 
 
-def anchor_fallback(df: DataFrame, min_turns: int = 40) -> DataFrame:
+def anchor_fallback(df: DataFrame, min_turns: int = 60) -> DataFrame:
     """Conversations with fewer than ``min_turns`` turns get 4 anchor rows
     at the quarter points of their time span with signal 0 and confidence
     0 semantics (≈ FinalizeCoordinates fallback: 4 anchor keypoints at ROI
@@ -77,4 +77,70 @@ def anchor_fallback(df: DataFrame, min_turns: int = 40) -> DataFrame:
             F.col("_lo")
             + F.floor(F.col("anchor_nr") * (F.col("_hi") - F.col("_lo")) / 3).cast("long")
         ).alias("anchor_ts_us"),
+    )
+
+
+def colinear_thirdpoint(
+    df: DataFrame, control_tool: str = "write", r2_min: float = 0.99
+) -> DataFrame:
+    """Colinearity check + polyfit third-point synthesis (≈
+    FinalizeCoordinates: if the control points are colinear — always true
+    with exactly 2 — a projection is degenerate, so fit a line and
+    synthesize an extra point on it,
+    /root/reference/tasks/geo_referencing/finalize_coordinates.py:96-238).
+
+    Control points are the ``control_tool`` turns; x = whole seconds since
+    the conversation's first control point, y = centi-quantized signal, so
+    every statistic is an exact integer (identical at any parallelism and
+    in the DuckDB twin).  Degenerate-variance cases:
+
+    - den_x == 0 (all points at one second) -> cannot fit, not colinear;
+    - den_y == 0 with den_x > 0 (horizontal line) -> perfectly colinear;
+    - otherwise colinear iff n == 2 or r² > ``r2_min``.
+
+    Output: every conversation with >= 2 control points, its r² and
+    colinear flag, and (for colinear ones) the synthesized midpoint
+    (synth_ts_us, synth_signal) on the fitted line."""
+    us = F.unix_micros(F.col("ts"))
+    pts = (
+        df.filter(F.col("tool") == control_tool)
+        .withColumn("_first_us", F.min(us).over(Window.partitionBy("conv_id")))
+        .withColumn("_x", F.floor((us - F.col("_first_us")) / F.lit(1_000_000)).cast("long"))
+        .withColumn("_yc", F.floor(F.col("signal") * 100 + F.lit(0.5)).cast("long"))
+    )
+    g = pts.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_pts"),
+        F.min("_first_us").alias("first_us"),
+        F.sum("_x").alias("sx"),
+        F.sum("_yc").alias("sy"),
+        F.sum(F.col("_x") * F.col("_yc")).alias("sxy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("sxx"),
+        F.sum(F.col("_yc") * F.col("_yc")).alias("syy"),
+        F.min("_x").alias("min_x"),
+        F.max("_x").alias("max_x"),
+    ).filter(F.col("n_pts") >= 2)
+    n = F.col("n_pts").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    num = n * sxy - sx * sy
+    den_x = n * sxx - sx * sx
+    den_y = n * syy - sy * sy
+    r2 = F.when((den_x > 0) & (den_y > 0), num * num / (den_x * den_y))
+    colinear = (den_x > 0) & (
+        (F.col("n_pts") == 2) | (den_y == 0) | (r2 > F.lit(r2_min))
+    )
+    slope = num / den_x
+    intercept = (sy - slope * sx) / n
+    x_mid = F.floor((F.col("min_x") + F.col("max_x")) / 2).cast("long")
+    y_mid = intercept + slope * x_mid.cast("double")
+    return g.select(
+        "conv_id",
+        "n_pts",
+        F.round(r2, 6).alias("r2"),
+        colinear.alias("colinear"),
+        F.when(colinear, F.col("first_us") + x_mid * F.lit(1_000_000)).alias(
+            "synth_ts_us"
+        ),
+        F.round(F.when(colinear, y_mid / 100), 6).alias("synth_signal"),
     )

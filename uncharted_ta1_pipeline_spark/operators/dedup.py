@@ -7,9 +7,10 @@ anywhere.
 
 Scale design:
 - exact: hash-groupBy, one shuffle on the digest.
-- minhash LSH: shingle -> per-seed min-hash -> band keys -> self-join on
-  band key.  The self-join is on the (small-cardinality) band buckets, never
-  a full cross join; at 100 TB the band table is salted by bucket size.
+- minhash LSH: shingle -> 64 affine min-hash perms (one md5 each) -> 16
+  band keys -> self-join on band key.  The self-join is on the
+  (small-cardinality) band buckets, never a full cross join; buckets larger
+  than ``max_band_df`` are stop-listed before the join (skew guard).
 - n-gram jaccard: candidate pairs via shared-shingle join (inverted index),
   counts aggregated, jaccard filtered.  Hot shingles should be
   stop-listed (df cap) at scale; parameterized here.
@@ -19,11 +20,25 @@ Scale design:
 
 from __future__ import annotations
 
+import random as _random
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
-N_SEEDS = 6
-BAND_SIZE = 3  # 6 seeds -> 2 bands of 3
+# --- MinHash permutation family ---------------------------------------------
+# One md5 per shingle parsed to a 32-bit integer, then 64 affine permutations
+# (a*h + b) mod P — production-strength perm count at ~1/6 the hash cost of
+# per-seed md5.  Constants are drawn once from a fixed seed and shared with
+# the DuckDB oracle; a < 2^31 and h < 2^32 keep a*h + b < 2^63 (no ANSI
+# overflow in either engine).
+N_PERMS = 64
+N_BANDS = 16
+BAND_ROWS = 4  # 16 bands x 4 rows = 64 perms
+MINHASH_P = 4_294_967_311  # smallest prime > 2^32
+_r = _random.Random(911)
+PERM_A = [_r.randrange(1, 2**31) for _ in range(N_PERMS)]
+PERM_B = [_r.randrange(0, 2**31) for _ in range(N_PERMS)]
+DEFAULT_MAX_BAND_DF = 200
 
 
 def dedup_exact(docs: DataFrame) -> DataFrame:
@@ -56,26 +71,36 @@ def _word_shingles(text: F.Column) -> F.Column:
     )
 
 
-def minhash_signature(docs: DataFrame, n_seeds: int = N_SEEDS) -> DataFrame:
+def minhash_signature(docs: DataFrame, n_perms: int = N_PERMS) -> DataFrame:
     """Per-doc minhash signature: sig[s] = min over shingles of
-    md5(s || '|' || shingle) — a lexicographic min-hash family."""
+    (a_s * h + b_s) mod P where h = first 32 md5 bits of the shingle.
+
+    ONE md5 per shingle feeds all ``n_perms`` permutations (the classic
+    affine family) — hashing cost is independent of the permutation count,
+    so 64 perms is as cheap as 6."""
     sh = docs.select(
         "doc_id", F.explode(_word_shingles(F.col("text"))).alias("_sh")
+    ).withColumn(
+        "_h", F.conv(F.substring(F.md5(F.col("_sh")), 1, 8), 16, 10).cast("long")
     )
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{s}|"), F.col("_sh")))).alias(f"sig{s}")
-        for s in range(n_seeds)
+        F.min(
+            F.pmod(F.col("_h") * F.lit(PERM_A[s]) + F.lit(PERM_B[s]), F.lit(MINHASH_P))
+        ).alias(f"sig{s}")
+        for s in range(n_perms)
     ]
     return sh.groupBy("doc_id").agg(*aggs)
 
 
-def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
-    """Candidate near-duplicate pairs: docs sharing any LSH band
-    (banding: 2 bands x 3 rows over the 6-seed signature)."""
+def minhash_bands(docs: DataFrame) -> DataFrame:
+    """(doc_id, band, band_key) rows: 16 bands x 4 signature rows."""
     sig = minhash_signature(docs)
     bands = []
-    for b in range(N_SEEDS // BAND_SIZE):
-        cols = [F.col(f"sig{b * BAND_SIZE + i}") for i in range(BAND_SIZE)]
+    for b in range(N_BANDS):
+        cols = [
+            F.col(f"sig{b * BAND_ROWS + i}").cast("string")
+            for i in range(BAND_ROWS)
+        ]
         bands.append(
             sig.select(
                 "doc_id",
@@ -86,6 +111,28 @@ def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
     banded = bands[0]
     for extra in bands[1:]:
         banded = banded.unionByName(extra)
+    return banded
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame, max_band_df: int = DEFAULT_MAX_BAND_DF
+) -> DataFrame:
+    """Candidate near-duplicate pairs: docs sharing any LSH band.
+
+    Skew guard: a band bucket holding more than ``max_band_df`` documents is
+    stop-listed before the self-join (the same document-frequency cap the
+    shingle index uses).  A degenerate bucket — e.g. millions of empty or
+    boilerplate documents landing on one band_key — would otherwise go
+    quadratic on a single join key; documents that similar are exact-dedup's
+    job (dedup_exact runs first in the pipeline), not LSH's."""
+    banded = minhash_bands(docs)
+    small = (
+        banded.groupBy("band", "band_key")
+        .agg(F.count(F.lit(1)).alias("_bn"))
+        .filter(F.col("_bn") <= max_band_df)
+        .select("band", "band_key")
+    )
+    banded = banded.join(small, on=["band", "band_key"])
     l = banded.alias("l")
     r = banded.alias("r")
     return (

@@ -1,0 +1,156 @@
+"""Evaluation-metrics harness (SURVEY.md §2.4): predictions↔truth
+nearest-match within a radius, per-class precision/recall/F1, and a decile
+summary over per-conversation scores.
+
+Re-expresses the reference's feature-extraction scoring
+(/root/reference/eval/18month_eval/fe_metrics_utils.py:18-142: per-class
+bipartite nearest matching within a pixel radius → P/R/F1;
+points_extraction_calc_metrics.py:120-144: aggregation across maps) on the
+transcripts derivation:
+
+- predictions = tool turns (predicted class = tool name, time = ts);
+- truth       = every 3rd user turn with a deterministic class label;
+- a prediction matches a truth point of the same (conversation, class)
+  within ``radius_s`` seconds; conflicts resolve mutual-nearest (each
+  prediction takes its nearest truth, each truth keeps its nearest
+  claiming prediction) — the same deterministic greedy the corner join
+  uses, fully expressible in SQL for the oracle.
+
+Everything is pure Catalyst (joins + windows): one shuffle per ranking,
+bounded candidate sets (radius-limited within (conv, class)), no UDFs.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+CLASSES = ["search", "bash", "read", "write", "edit"]
+RADIUS_S = 300
+
+
+def predictions(df: DataFrame) -> DataFrame:
+    """Predicted events: tool turns, class = tool name."""
+    return df.filter(
+        (F.col("role") == "tool") & F.col("tool").isin(CLASSES)
+    ).select(
+        "conv_id",
+        F.col("tool").alias("class"),
+        F.col("turn_idx").alias("pred_idx"),
+        F.unix_micros("ts").alias("pred_us"),
+    )
+
+
+def truths(df: DataFrame) -> DataFrame:
+    """Ground-truth events: every 3rd user turn, deterministic class."""
+    cls = F.element_at(
+        F.array(*[F.lit(c) for c in CLASSES]),
+        (F.floor(F.col("turn_idx") / 3) % 5 + 1).cast("int"),
+    )
+    return df.filter((F.col("role") == "user") & (F.col("turn_idx") % 3 == 0)).select(
+        "conv_id",
+        cls.alias("class"),
+        F.col("turn_idx").alias("truth_idx"),
+        F.unix_micros("ts").alias("truth_us"),
+    )
+
+
+def match_pairs(pred: DataFrame, truth: DataFrame, radius_s: int = RADIUS_S) -> DataFrame:
+    """Mutual-nearest one-to-one matches within the radius.
+
+    Candidates are radius-limited within (conv_id, class) — never a free
+    cross join; the two rankings are windows over the candidate set."""
+    cand = pred.join(truth, on=["conv_id", "class"]).withColumn(
+        "dist_us", F.abs(F.col("pred_us") - F.col("truth_us"))
+    ).filter(F.col("dist_us") <= radius_s * 1_000_000)
+    w1 = Window.partitionBy("conv_id", "class", "pred_idx").orderBy(
+        "dist_us", "truth_idx"
+    )
+    w2 = Window.partitionBy("conv_id", "class", "truth_idx").orderBy(
+        "dist_us", "pred_idx"
+    )
+    return (
+        cand.withColumn("_rk1", F.row_number().over(w1))
+        .filter(F.col("_rk1") == 1)
+        .withColumn("_rk2", F.row_number().over(w2))
+        .filter(F.col("_rk2") == 1)
+        .select("conv_id", "class", "pred_idx", "truth_idx", "dist_us")
+    )
+
+
+def eval_f1_per_class(df: DataFrame, radius_s: int = RADIUS_S) -> DataFrame:
+    """Per-class precision / recall / F1 across the whole corpus
+    (fe_metrics_utils.py:18-142 semantics)."""
+    pred, truth = predictions(df), truths(df)
+    tp = match_pairs(pred, truth, radius_s).groupBy("class").agg(
+        F.count(F.lit(1)).alias("tp")
+    )
+    np_ = pred.groupBy("class").agg(F.count(F.lit(1)).alias("n_pred"))
+    nt = truth.groupBy("class").agg(F.count(F.lit(1)).alias("n_truth"))
+    g = (
+        np_.join(nt, on="class", how="full")
+        .join(tp, on="class", how="left")
+        .select(
+            "class",
+            F.coalesce("n_pred", F.lit(0)).alias("n_pred"),
+            F.coalesce("n_truth", F.lit(0)).alias("n_truth"),
+            F.coalesce("tp", F.lit(0)).alias("tp"),
+        )
+    )
+    prec = F.when(F.col("n_pred") > 0, F.col("tp") / F.col("n_pred"))
+    rec = F.when(F.col("n_truth") > 0, F.col("tp") / F.col("n_truth"))
+    return g.select(
+        "class",
+        "n_pred",
+        "n_truth",
+        "tp",
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(
+            F.when(
+                F.col("n_pred") + F.col("n_truth") > 0,
+                2.0 * F.col("tp") / (F.col("n_pred") + F.col("n_truth")),
+            ),
+            6,
+        ).alias("f1"),
+    )
+
+
+def eval_f1_deciles(df: DataFrame, radius_s: int = RADIUS_S) -> DataFrame:
+    """Decile summary of per-conversation micro-F1
+    (points_extraction_calc_metrics.py:120-144: bucketed score summary).
+
+    Micro-F1 per conversation = 2·tp / (n_pred + n_truth); conversations
+    with neither predictions nor truths are excluded.  Deciles are ntile(10)
+    over (f1, conv_id) — a total order, so bucketing is identical in both
+    engines at any parallelism."""
+    pred, truth = predictions(df), truths(df)
+    tp = match_pairs(pred, truth, radius_s).groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("tp")
+    )
+    np_ = pred.groupBy("conv_id").agg(F.count(F.lit(1)).alias("n_pred"))
+    nt = truth.groupBy("conv_id").agg(F.count(F.lit(1)).alias("n_truth"))
+    per_conv = (
+        np_.join(nt, on="conv_id", how="full")
+        .join(tp, on="conv_id", how="left")
+        .select(
+            "conv_id",
+            F.round(
+                2.0
+                * F.coalesce("tp", F.lit(0))
+                / (F.coalesce("n_pred", F.lit(0)) + F.coalesce("n_truth", F.lit(0))),
+                6,
+            ).alias("f1"),
+        )
+    )
+    w = Window.orderBy("f1", "conv_id")
+    return (
+        per_conv.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_convs"),
+            F.round(F.avg("f1"), 6).alias("avg_f1"),
+            F.round(F.min("f1"), 6).alias("min_f1"),
+            F.round(F.max("f1"), 6).alias("max_f1"),
+        )
+    )

@@ -81,6 +81,42 @@ def corner_join(df: DataFrame, max_gap_s: int = 60) -> DataFrame:
     )
 
 
+def corner_join_passthrough(
+    df: DataFrame, max_gap_s: int = 60, min_pairs: int = 4
+) -> DataFrame:
+    """Consumed-once theta join WITH pass-through: when a conversation
+    yields fewer than ``min_pairs`` matched pairs, its un-joined user turns
+    pass through with NULL partners (≈ corner_point_extractor.py:130-152:
+    with <4 matched corners the image proceeds un-cropped — inputs are
+    never silently dropped by a failed enrichment).
+
+    Output: all matched pairs (matched=true) plus, for under-matched
+    conversations, their unmatched user turns (matched=false, NULL t_idx)."""
+    pairs = corner_join(df, max_gap_s)
+    u = df.filter(F.col("role") == "user").select(
+        "conv_id", F.col("turn_idx").alias("u_idx")
+    )
+    counts = pairs.groupBy("conv_id").agg(F.count(F.lit(1)).alias("_n_pairs"))
+    few = (
+        u.select("conv_id")
+        .distinct()
+        .join(counts, on="conv_id", how="left")
+        .filter(F.coalesce(F.col("_n_pairs"), F.lit(0)) < min_pairs)
+        .select("conv_id")
+    )
+    unmatched = u.join(
+        pairs.select("conv_id", "u_idx"), on=["conv_id", "u_idx"], how="left_anti"
+    )
+    passthrough = unmatched.join(few, on="conv_id").select(
+        "conv_id",
+        "u_idx",
+        F.lit(None).cast("int").alias("t_idx"),
+        F.lit(None).cast("double").alias("gap_s"),
+        F.lit(False).alias("matched"),
+    )
+    return pairs.withColumn("matched", F.lit(True)).unionByName(passthrough)
+
+
 def nearest_join(df: DataFrame) -> DataFrame:
     """For each 'tool' turn, the nearest 'user' turn in time within the
     conversation (≈ nearest-OCR-text dip lookup,

@@ -67,6 +67,16 @@ RANSAC_SCHEMA = StructType(
 )
 
 
+# Deterministic candidate-index multipliers (Knuth multiplicative constant +
+# two odd offsets).  The reference seeds numpy's RNG (seed 911,
+# outlier_filter.py:191); a cross-engine oracle needs the sample indices to
+# be a pure FUNCTION of (iteration, n), so the seed is mixed in affinely
+# instead.  Same estimator family, reproducible in plain SQL.
+RANSAC_MULT_A = 2654435761
+RANSAC_MULT_B = 40503
+RANSAC_OFF_B = 1759
+
+
 def ransac_slope(
     df: DataFrame,
     value_col: str = "signal",
@@ -76,53 +86,72 @@ def ransac_slope(
 ) -> DataFrame:
     """Per-conversation robust line fit value ~ seconds-since-first-turn.
 
-    Vectorized Arrow path (`applyInPandas`); numpy-only RANSAC with the
-    reference's seed 911 (outlier_filter.py:191).  Observations per group
-    are capped by recency to bound task size (the reference caps at
-    MAX_GCPS=8; we keep more because the fit is cheap)."""
+    Vectorized Arrow path (`applyInPandas`, the grouped-map UDF surface);
+    numpy-only RANSAC mirroring /root/reference/tasks/geo_referencing/
+    outlier_filter.py:163-231.  Observations per group are capped by recency
+    to bound task size (the reference caps GCPs at MAX_GCPS=8,
+    ground_control.py:17; we keep more because the fit is cheap).
+
+    Fully deterministic and DuckDB-reproducible:
+    - candidate sample indices are affine functions of the iteration number
+      (mod n) rather than RNG draws;
+    - x is quantized to whole seconds and y to centi-units, so the refit's
+      sufficient statistics are EXACT integers (no accumulation-order
+      sensitivity) and the final OLS is recovered in double identically in
+      both engines."""
     import numpy as np
     import pandas as pd
 
     us = F.unix_micros(F.col("ts"))
-    w = Window.partitionBy("conv_id").orderBy(F.col("ts").desc(), F.col("turn_idx").desc())
+    w = Window.partitionBy("conv_id").orderBy(
+        F.col("ts").desc(), F.col("turn_idx").desc()
+    )
     capped = (
         df.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= max_obs_per_group)
         .withColumn("_us", us)
-        .select("conv_id", "_us", F.col(value_col).alias("_v"))
+        .withColumn("_yc", F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("long"))
+        .select("conv_id", "turn_idx", "_us", "_yc")
     )
 
     def fit(pdf: pd.DataFrame) -> pd.DataFrame:
-        x = (pdf["_us"].to_numpy() - pdf["_us"].min()) / 1e6
-        y = pdf["_v"].to_numpy().astype("float64")
+        conv = pdf["conv_id"].iloc[0]
+        pdf = pdf.sort_values(["_us", "turn_idx"], kind="mergesort")
+        usv = pdf["_us"].to_numpy()
+        x = (usv - usv.min()) // 1_000_000  # int64 whole seconds
+        yc = pdf["_yc"].to_numpy()
         n = len(x)
         if n < 2:
             return pd.DataFrame(
-                [[pdf["conv_id"].iloc[0], None, None, 0, n]],
+                [[conv, None, None, 0, n]],
                 columns=["conv_id", "slope", "intercept", "n_inliers", "n_obs"],
             )
-        order = np.argsort(x, kind="stable")
-        x, y = x[order], y[order]
-        rng = np.random.RandomState(seed)
-        resid_thresh = max(np.median(np.abs(y - np.median(y))) * 3.0, 1e-9)
-        best = (-1, 0.0, 0.0)
-        for _ in range(n_iter):
-            i, j = rng.randint(0, n), rng.randint(0, n)
+        med = float(np.median(yc))
+        thresh = max(3.0 * float(np.median(np.abs(yc - med))), 1e-9)
+        best_inl, best_m, best_b = -1, 0.0, 0.0
+        for it in range(n_iter):
+            i = (it * RANSAC_MULT_A + seed) % n
+            j = (it * RANSAC_MULT_B + RANSAC_OFF_B) % n
             if x[i] == x[j]:
                 continue
-            m = (y[j] - y[i]) / (x[j] - x[i])
-            b = y[i] - m * x[i]
-            inl = int(np.sum(np.abs(y - (m * x + b)) <= resid_thresh))
-            if inl > best[0]:
-                best = (inl, m, b)
-        inliers = np.abs(y - (best[1] * x + best[2])) <= resid_thresh
-        if inliers.sum() >= 2:
-            m, b = np.polyfit(x[inliers], y[inliers], 1)
-        else:
-            m, b = best[1], best[2]
+            m = (yc[j] - yc[i]) / (x[j] - x[i])
+            b = float(yc[i]) - m * float(x[i])
+            inl = int(np.sum(np.abs(yc - (m * x + b)) <= thresh))
+            if inl > best_inl:  # strict: first max wins (lowest iteration)
+                best_inl, best_m, best_b = inl, m, b
+        mask = np.abs(yc - (best_m * x + best_b)) <= thresh
+        k = int(mask.sum())
+        m_f, b_f = best_m, best_b
+        if k >= 2:
+            xs_, ys_ = x[mask], yc[mask]
+            sx, sy = int(xs_.sum()), int(ys_.sum())
+            sxy, sxx = int((xs_ * ys_).sum()), int((xs_ * xs_).sum())
+            denom = float(k) * float(sxx) - float(sx) * float(sx)
+            if denom > 0:
+                m_f = (float(k) * float(sxy) - float(sx) * float(sy)) / denom
+                b_f = (float(sy) - m_f * float(sx)) / float(k)
         return pd.DataFrame(
-            [[pdf["conv_id"].iloc[0], round(float(m), 6), round(float(b), 6),
-              int(inliers.sum()), n]],
+            [[conv, round(m_f / 100, 6), round(b_f / 100, 6), k, n]],
             columns=["conv_id", "slope", "intercept", "n_inliers", "n_obs"],
         )
 

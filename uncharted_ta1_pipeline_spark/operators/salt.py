@@ -52,25 +52,28 @@ def featurize_hybrid(
     routing."""
     from uncharted_ta1_pipeline_spark.operators.windows import featurize
 
-    # Planning decision, evaluated eagerly (like AQE's runtime stats): the
-    # hot list is by construction tiny — at most |data| / hot_threshold
-    # conversations — so it collects to the driver and becomes a pushed-down
-    # isin predicate, avoiding any split join.
-    hot_list = [
-        r[0]
-        for r in df.groupBy("conv_id")
+    # Routing flag: the hot set is by construction tiny — at most
+    # |data| / hot_threshold conversations (~15M at the 10^12-turn design
+    # point) — so it broadcast-joins as a (conv_id) dim.  NO driver-side
+    # collect/isin: a 15M-element isin literal would blow up the plan, a
+    # broadcast flag keeps the same plan shape at any scale.
+    hot = (
+        df.groupBy("conv_id")
         .agg(F.count(F.lit(1)).alias("_n_conv"))
         .filter(F.col("_n_conv") > hot_threshold)
-        .select("conv_id")
-        .collect()
-    ]
-    if not hot_list:
+        .select("conv_id", F.lit(True).alias("_hot"))
+    )
+    # planning decision, evaluated eagerly like AQE's runtime stats: a tiny
+    # aggregate-only action, not a data collect
+    if hot.isEmpty():
         return featurize(df, rolling_width=rolling_width)
+    flagged = df.join(F.broadcast(hot), on="conv_id", how="left")
     cold_f = featurize(
-        df.filter(~F.col("conv_id").isin(hot_list)), rolling_width=rolling_width
+        flagged.filter(F.col("_hot").isNull()).drop("_hot"),
+        rolling_width=rolling_width,
     )
     hot_f = featurize_salted(
-        df.filter(F.col("conv_id").isin(hot_list)),
+        flagged.filter(F.col("_hot")).drop("_hot"),
         chunk_size=chunk_size,
         rolling_width=rolling_width,
         gap_s=gap_s,

@@ -14,6 +14,11 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
+# multi-table LSH defaults, shared with the DuckDB oracle generator
+ANN_TABLES = 4
+ANN_PLANES = 4
+ANN_MAX_BUCKET = 256
+
 
 def cosine(a: F.Column, b: F.Column) -> F.Column:
     """Cosine similarity of two array<double> columns, evaluated in array
@@ -74,31 +79,79 @@ def _hyperplane_sign(v: F.Column, plane: int) -> F.Column:
     return (dot >= 0).cast("int")
 
 
+def _bucket_expr(v: F.Column, table: int, n_planes: int) -> F.Column:
+    """2^n_planes bucket id for one hash table; plane ids are namespaced by
+    table so every table uses an independent hyperplane set."""
+    bucket = None
+    for p in range(n_planes):
+        term = _hyperplane_sign(v, table * 1000 + p) * (2**p)
+        bucket = term if bucket is None else bucket + term
+    return bucket
+
+
 def ann_lsh(
     emb: DataFrame,
     n_queries: int = 5,
     k: int = 10,
-    n_planes: int = 4,
+    n_planes: int = ANN_PLANES,
+    n_tables: int = ANN_TABLES,
+    max_bucket: int = ANN_MAX_BUCKET,
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """Approximate top-k: score only candidates in the query's
-    random-hyperplane bucket (2^n_planes buckets).  Recall is traded for a
-    |bucket|-local join — the 100 TB path."""
+    """Approximate top-k via multi-table random-hyperplane LSH — the
+    100 TB path.
+
+    OR-construction across ``n_tables`` independent hash tables recovers the
+    recall a single table loses to unlucky hyperplanes; within each table
+    the join is bucket-local (2^n_planes buckets).  Two skew/scale guards:
+
+    - per-bucket cap: the INDEX side of each (table, bucket) keeps at most
+      ``max_bucket`` vectors (deterministic by vec_id), so one degenerate
+      bucket — e.g. a mass of zero-ish embeddings — cannot go quadratic;
+      queries always probe their bucket uncapped;
+    - candidates are deduped across tables BEFORE vectors are re-fetched and
+      scored, so each (query, neighbor) pair pays one cosine regardless of
+      how many tables propose it."""
     v = emb.select(F.col(id_col), F.col("embedding").cast("array<double>").alias("_v"))
-    bucket = None
-    for p in range(n_planes):
-        term = _hyperplane_sign(F.col("_v"), p) * (2**p)
-        bucket = term if bucket is None else bucket + term
-    vb = v.withColumn("_bkt", bucket)
-    q = vb.filter(F.col(id_col) < n_queries).select(
-        F.col(id_col).alias("query_id"), F.col("_v").alias("_q"), F.col("_bkt")
+    tables = []
+    for t in range(n_tables):
+        tables.append(
+            v.select(
+                id_col,
+                F.lit(t).alias("_tbl"),
+                _bucket_expr(F.col("_v"), t, n_planes).alias("_bkt"),
+            )
+        )
+    allb = tables[0]
+    for extra in tables[1:]:
+        allb = allb.unionByName(extra)
+    w_cap = Window.partitionBy("_tbl", "_bkt").orderBy(id_col)
+    capped = (
+        allb.withColumn("_rn", F.row_number().over(w_cap))
+        .filter(F.col("_rn") <= max_bucket)
+        .drop("_rn")
     )
-    scored = q.join(
-        vb, on=["_bkt"]
-    ).filter(F.col(id_col) != F.col("query_id")).select(
-        "query_id",
-        F.col(id_col).alias("neighbor_id"),
-        F.round(cosine(F.col("_q"), F.col("_v")), 6).alias("cosine"),
+    q = allb.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"), "_tbl", "_bkt"
+    )
+    cand = (
+        q.join(capped, on=["_tbl", "_bkt"])
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select("query_id", F.col(id_col).alias("neighbor_id"))
+        .distinct()
+    )
+    qv = v.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"), F.col("_v").alias("_q")
+    )
+    nv = v.select(F.col(id_col).alias("neighbor_id"), F.col("_v").alias("_n"))
+    scored = (
+        cand.join(F.broadcast(qv), on="query_id")
+        .join(nv, on="neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("_q"), F.col("_n")), 6).alias("cosine"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()

@@ -5,8 +5,16 @@ the seed/band/bit structure provably matches the Spark side."""
 
 from __future__ import annotations
 
-N_SEEDS = 6
-BAND_SIZE = 3
+from uncharted_ta1_pipeline_spark.operators.dedup import (
+    BAND_ROWS,
+    DEFAULT_MAX_BAND_DF,
+    MINHASH_P,
+    N_BANDS,
+    N_PERMS,
+    PERM_A,
+    PERM_B,
+)
+
 HEX = "0123456789abcdef"
 
 _SHINGLES = """
@@ -30,33 +38,54 @@ SELECT min(doc_id) AS survivor_doc_id, count(*) AS n_copies
 FROM documents GROUP BY md5(text)
 """
 
+# 64 affine permutations over one 32-bit md5-derived hash per shingle —
+# constants imported from operators.dedup so both engines provably share
+# the family.
 _sig_aggs = ",\n         ".join(
-    f"min(md5('{s}|' || sh)) AS sig{s}" for s in range(N_SEEDS)
+    f"CAST(min((h * {PERM_A[s]} + {PERM_B[s]}) % {MINHASH_P}) AS BIGINT) AS sig{s}"
+    for s in range(N_PERMS)
 )
+_HASHED = f"""
+hashed AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(sh), 1, 8)) AS BIGINT) AS h
+  FROM sh
+)
+""".strip()
 ORACLES_DOCS["minhash_signature"] = f"""
-WITH {_SHINGLES}
+WITH {_SHINGLES},
+{_HASHED}
 SELECT doc_id,
          {_sig_aggs}
-FROM sh GROUP BY doc_id
+FROM hashed GROUP BY doc_id
 """
 
 _band_selects = "\n  UNION ALL\n".join(
     f"  SELECT doc_id, {b} AS band, "
-    f"md5(concat_ws('#', {', '.join(f'sig{b * BAND_SIZE + i}' for i in range(BAND_SIZE))})) AS band_key FROM sig"
-    for b in range(N_SEEDS // BAND_SIZE)
+    f"md5(concat_ws('#', {', '.join(f'CAST(sig{b * BAND_ROWS + i} AS VARCHAR)' for i in range(BAND_ROWS))})) AS band_key FROM sig"
+    for b in range(N_BANDS)
 )
 ORACLES_DOCS["minhash_lsh_pairs"] = f"""
 WITH {_SHINGLES},
+{_HASHED},
 sig AS (
   SELECT doc_id,
          {_sig_aggs}
-  FROM sh GROUP BY doc_id
+  FROM hashed GROUP BY doc_id
 ),
 banded AS (
 {_band_selects}
+),
+small AS (
+  SELECT band, band_key FROM banded
+  GROUP BY band, band_key HAVING count(*) <= {DEFAULT_MAX_BAND_DF}
+),
+kept AS (
+  SELECT b.* FROM banded b JOIN small s
+    ON b.band = s.band AND b.band_key = s.band_key
 )
 SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-FROM banded l JOIN banded r
+FROM kept l JOIN kept r
   ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id
 """
 
@@ -128,33 +157,55 @@ ranked AS (
 SELECT query_id, neighbor_id, cosine, rk FROM ranked WHERE rk <= 10
 """
 
-_planes = ",\n".join(
-    f"""  p{p} AS (
-    SELECT vec_id,
-           CASE WHEN list_dot_product(
-             embedding::DOUBLE[],
-             list_transform(range(len(embedding)),
-               d -> CASE WHEN strpos('{HEX}', substr(md5('{p}' || '|' || CAST(d AS VARCHAR)), 1, 1)) <= 8
-                    THEN -1.0 ELSE 1.0 END)::DOUBLE[]
-           ) >= 0 THEN 1 ELSE 0 END AS s{p}
-    FROM embeddings
-  )"""
-    for p in range(4)
+# multi-table LSH: per table, 4 inline plane-sign terms sum to the bucket id;
+# plane ids are namespaced table*1000+p exactly as in operators/similarity.py
+from uncharted_ta1_pipeline_spark.operators.similarity import (  # noqa: E402
+    ANN_MAX_BUCKET,
+    ANN_PLANES,
+    ANN_TABLES,
 )
-_bkt = " + ".join(f"p{p}.s{p} * {2 ** p}" for p in range(4))
-_pjoin = " ".join(f"JOIN p{p} ON p{p}.vec_id = e.vec_id" for p in range(4))
+
+
+def _plane_sign_sql(pid: int) -> str:
+    return (
+        "CASE WHEN list_dot_product(embedding::DOUBLE[], "
+        "list_transform(range(len(embedding)), "
+        f"d -> CASE WHEN strpos('{HEX}', substr(md5('{pid}' || '|' || CAST(d AS VARCHAR)), 1, 1)) <= 8 "
+        "THEN -1.0 ELSE 1.0 END)::DOUBLE[]) >= 0 THEN 1 ELSE 0 END"
+    )
+
+
+_tables_sql = ",\n".join(
+    f"""bt{t} AS (
+  SELECT vec_id, {t} AS tbl,
+         {" + ".join(f"({_plane_sign_sql(t * 1000 + p)}) * {2 ** p}" for p in range(ANN_PLANES))} AS bkt
+  FROM embeddings
+)"""
+    for t in range(ANN_TABLES)
+)
+_allb = " UNION ALL ".join(f"SELECT * FROM bt{t}" for t in range(ANN_TABLES))
 ORACLES_DOCS["ann_lsh"] = f"""
 WITH
-{_planes},
-bucketed AS (
-  SELECT e.vec_id, e.embedding, {_bkt} AS bkt
-  FROM embeddings e {_pjoin}
+{_tables_sql},
+allb AS ({_allb}),
+capped AS (
+  SELECT vec_id, tbl, bkt FROM (
+    SELECT *, row_number() OVER (PARTITION BY tbl, bkt ORDER BY vec_id) AS rn
+    FROM allb
+  ) WHERE rn <= {ANN_MAX_BUCKET}
+),
+q AS (SELECT vec_id AS query_id, tbl, bkt FROM allb WHERE vec_id < 5),
+cand AS (
+  SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id
+  FROM q JOIN capped c ON q.tbl = c.tbl AND q.bkt = c.bkt
+                      AND c.vec_id <> q.query_id
 ),
 scored AS (
-  SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
-         round(list_cosine_similarity(q.embedding::DOUBLE[], v.embedding::DOUBLE[]), 6) AS cosine
-  FROM bucketed q JOIN bucketed v ON q.bkt = v.bkt AND v.vec_id <> q.vec_id
-  WHERE q.vec_id < 5
+  SELECT cand.query_id, cand.neighbor_id,
+         round(list_cosine_similarity(qe.embedding::DOUBLE[], ne.embedding::DOUBLE[]), 6) AS cosine
+  FROM cand
+  JOIN embeddings qe ON qe.vec_id = cand.query_id
+  JOIN embeddings ne ON ne.vec_id = cand.neighbor_id
 ),
 ranked AS (
   SELECT *, row_number() OVER (PARTITION BY query_id

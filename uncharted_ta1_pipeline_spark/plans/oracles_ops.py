@@ -2,6 +2,11 @@
 
 from __future__ import annotations
 
+from uncharted_ta1_pipeline_spark.operators.outliers import (
+    RANSAC_MULT_A,
+    RANSAC_MULT_B,
+    RANSAC_OFF_B,
+)
 from uncharted_ta1_pipeline_spark.sources.transcripts import TRANSCRIPTS_CTE
 
 _T = f"WITH {TRANSCRIPTS_CTE}"
@@ -156,6 +161,48 @@ r2 AS (
 )
 SELECT conv_id, u_idx, t_idx, round(dist / 1000000.0, 6) AS gap_s
 FROM r2 WHERE rk2 = 1
+"""
+
+ORACLES_OPS["corner_join_passthrough"] = f"""
+{_T},
+u AS (SELECT conv_id, turn_idx AS u_idx, {US} AS u_us FROM transcripts WHERE role = 'user'),
+t AS (SELECT conv_id, turn_idx AS t_idx, {US} AS t_us FROM transcripts WHERE role = 'tool'),
+cand AS (
+  SELECT u.conv_id, u.u_idx, t.t_idx, abs(u.u_us - t.t_us) AS dist
+  FROM u JOIN t ON u.conv_id = t.conv_id
+  WHERE abs(u.u_us - t.t_us) <= 60 * 1000000
+),
+r1 AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, u_idx
+                               ORDER BY dist ASC, t_idx ASC) AS rk1
+  FROM cand
+),
+r2 AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, t_idx
+                               ORDER BY dist ASC, u_idx ASC) AS rk2
+  FROM r1 WHERE rk1 = 1
+),
+pairs AS (
+  SELECT conv_id, u_idx, t_idx, round(dist / 1000000.0, 6) AS gap_s
+  FROM r2 WHERE rk2 = 1
+),
+few AS (
+  SELECT uc.conv_id
+  FROM (SELECT DISTINCT conv_id FROM u) uc
+  LEFT JOIN (SELECT conv_id, count(*) AS n_pairs FROM pairs GROUP BY conv_id) c
+    ON uc.conv_id = c.conv_id
+  WHERE coalesce(c.n_pairs, 0) < 4
+),
+unmatched AS (
+  SELECT u.conv_id, u.u_idx FROM u
+  LEFT JOIN pairs p ON u.conv_id = p.conv_id AND u.u_idx = p.u_idx
+  WHERE p.u_idx IS NULL
+)
+SELECT conv_id, u_idx, t_idx, gap_s, TRUE AS matched FROM pairs
+UNION ALL
+SELECT m.conv_id, m.u_idx, CAST(NULL AS INTEGER) AS t_idx,
+       CAST(NULL AS DOUBLE) AS gap_s, FALSE AS matched
+FROM unmatched m JOIN few f ON m.conv_id = f.conv_id
 """
 
 ORACLES_OPS["nearest_join"] = f"""
@@ -316,7 +363,7 @@ g AS (
   SELECT conv_id, count(*) AS n, min({US}) AS lo, max({US}) AS hi
   FROM transcripts GROUP BY conv_id
 ),
-small AS (SELECT * FROM g WHERE n < 40),
+small AS (SELECT * FROM g WHERE n < 60),
 anchors AS (
   SELECT s.conv_id, s.n, s.lo, s.hi, CAST(u.a AS INTEGER) AS anchor_nr
   FROM small s, unnest([0, 1, 2, 3]) AS u(a)
@@ -324,6 +371,59 @@ anchors AS (
 SELECT conv_id, n AS n_turns, anchor_nr,
        lo + CAST(floor(anchor_nr * (hi - lo) / 3) AS BIGINT) AS anchor_ts_us
 FROM anchors
+"""
+
+ORACLES_OPS["colinear_thirdpoint"] = f"""
+{_T},
+pts AS (
+  SELECT conv_id, {US} AS us,
+         min({US}) OVER (PARTITION BY conv_id) AS first_us,
+         CAST(floor(({US} - min({US}) OVER (PARTITION BY conv_id)) / 1000000)
+              AS BIGINT) AS x,
+         CAST(floor(signal * 100 + 0.5) AS BIGINT) AS yc
+  FROM transcripts WHERE tool = 'write'
+),
+g AS (
+  SELECT conv_id, CAST(count(*) AS BIGINT) AS n_pts, min(first_us) AS first_us,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(yc) AS BIGINT) AS sy,
+         CAST(sum(x * yc) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(yc * yc) AS BIGINT) AS syy,
+         min(x) AS min_x, max(x) AS max_x
+  FROM pts GROUP BY conv_id
+  HAVING count(*) >= 2
+),
+d AS (
+  SELECT *,
+         CAST(n_pts AS DOUBLE) * CAST(sxy AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
+         CAST(n_pts AS DOUBLE) * CAST(sxx AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS den_x,
+         CAST(n_pts AS DOUBLE) * CAST(syy AS DOUBLE)
+           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS den_y,
+         CAST(floor((min_x + max_x) / 2) AS BIGINT) AS x_mid
+  FROM g
+),
+e AS (
+  SELECT *,
+         CASE WHEN den_x > 0 AND den_y > 0
+              THEN num * num / (den_x * den_y) END AS r2,
+         den_x > 0 AND (n_pts = 2 OR den_y = 0
+                        OR (den_x > 0 AND den_y > 0
+                            AND num * num / (den_x * den_y) > 0.99)) AS colinear,
+         num / den_x AS slope
+  FROM d
+)
+SELECT conv_id, n_pts,
+       round(r2, 6) AS r2,
+       colinear,
+       CASE WHEN colinear THEN first_us + x_mid * 1000000 END AS synth_ts_us,
+       round(CASE WHEN colinear THEN
+                ((CAST(sy AS DOUBLE) - (num / den_x) * CAST(sx AS DOUBLE))
+                 / CAST(n_pts AS DOUBLE)
+                 + (num / den_x) * CAST(x_mid AS DOUBLE)) / 100 END, 6)
+         AS synth_signal
+FROM e
 """
 
 ORACLES_OPS["mad_outliers"] = f"""
@@ -348,6 +448,116 @@ SELECT d.conv_id, d.turn_idx,
 FROM dev d JOIN mad m ON d.conv_id = m.conv_id
 """
 
+# Deterministic RANSAC twin: candidate indices are affine functions of the
+# iteration (same constants as operators/outliers.py), x/y quantized to
+# integers so every statistic is exact in both engines.
+ORACLES_OPS["ransac_slope"] = f"""
+{_T},
+capped AS (
+  SELECT conv_id, ts, turn_idx, signal,
+         row_number() OVER (PARTITION BY conv_id
+                            ORDER BY ts DESC, turn_idx DESC) AS rn
+  FROM transcripts
+),
+rows_ AS (
+  SELECT conv_id, {US} AS us, turn_idx,
+         CAST(floor(signal * 100 + 0.5) AS BIGINT) AS yc
+  FROM capped WHERE rn <= 512
+),
+xs AS (
+  SELECT conv_id,
+         CAST(floor((us - min(us) OVER (PARTITION BY conv_id)) / 1000000)
+              AS BIGINT) AS x,
+         yc,
+         CAST(row_number() OVER (PARTITION BY conv_id ORDER BY us, turn_idx) - 1
+              AS BIGINT) AS idx,
+         CAST(count(*) OVER (PARTITION BY conv_id) AS BIGINT) AS n
+  FROM rows_
+),
+med AS (SELECT conv_id, quantile_cont(yc, 0.5) AS m0 FROM xs GROUP BY conv_id),
+thr AS (
+  SELECT x.conv_id,
+         greatest(3.0 * quantile_cont(abs(x.yc - m.m0), 0.5), 1e-9) AS thresh
+  FROM xs x JOIN med m ON x.conv_id = m.conv_id
+  GROUP BY x.conv_id
+),
+convs AS (SELECT DISTINCT conv_id, n FROM xs),
+iters AS (SELECT conv_id, n, unnest(range(32)) AS it FROM convs),
+cand AS (
+  SELECT conv_id, it, m,
+         CAST(ayc AS DOUBLE) - m * CAST(ax AS DOUBLE) AS b0
+  FROM (
+    SELECT i.conv_id, i.it, a.yc AS ayc, a.x AS ax,
+           CAST(b.yc - a.yc AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS m
+    FROM iters i
+    JOIN xs a ON a.conv_id = i.conv_id
+             AND a.idx = (i.it * {RANSAC_MULT_A} + 911) % i.n
+    JOIN xs b ON b.conv_id = i.conv_id
+             AND b.idx = (i.it * {RANSAC_MULT_B} + {RANSAC_OFF_B}) % i.n
+    WHERE a.x <> b.x
+  )
+),
+scored AS (
+  SELECT c.conv_id, c.it, c.m, c.b0,
+         CAST(sum(CASE WHEN abs(CAST(r.yc AS DOUBLE)
+                           - (c.m * CAST(r.x AS DOUBLE) + c.b0)) <= t.thresh
+                       THEN 1 ELSE 0 END) AS BIGINT) AS inl
+  FROM cand c
+  JOIN xs r ON r.conv_id = c.conv_id
+  JOIN thr t ON t.conv_id = c.conv_id
+  GROUP BY c.conv_id, c.it, c.m, c.b0
+),
+best AS (
+  SELECT conv_id, m, b0 FROM (
+    SELECT *, row_number() OVER (PARTITION BY conv_id
+                                 ORDER BY inl DESC, it ASC) AS rk
+    FROM scored
+  ) WHERE rk = 1
+),
+bestd AS (
+  SELECT c.conv_id, c.n, coalesce(b.m, 0.0) AS m, coalesce(b.b0, 0.0) AS b0
+  FROM convs c LEFT JOIN best b ON c.conv_id = b.conv_id
+),
+inl_rows AS (
+  SELECT r.conv_id, r.x, r.yc
+  FROM xs r
+  JOIN bestd b ON b.conv_id = r.conv_id
+  JOIN thr t ON t.conv_id = r.conv_id
+  WHERE abs(CAST(r.yc AS DOUBLE) - (b.m * CAST(r.x AS DOUBLE) + b.b0)) <= t.thresh
+),
+refit AS (
+  SELECT conv_id, CAST(count(*) AS BIGINT) AS k,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(yc) AS BIGINT) AS sy,
+         CAST(sum(x * yc) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM inl_rows GROUP BY conv_id
+),
+ols AS (
+  SELECT b.conv_id, b.n, b.m AS m_best, b.b0 AS b_best,
+         coalesce(r.k, 0) AS k, r.sx, r.sy,
+         CASE WHEN coalesce(r.k, 0) >= 2
+                   AND CAST(r.k AS DOUBLE) * CAST(r.sxx AS DOUBLE)
+                       - CAST(r.sx AS DOUBLE) * CAST(r.sx AS DOUBLE) > 0
+              THEN (CAST(r.k AS DOUBLE) * CAST(r.sxy AS DOUBLE)
+                    - CAST(r.sx AS DOUBLE) * CAST(r.sy AS DOUBLE))
+                   / (CAST(r.k AS DOUBLE) * CAST(r.sxx AS DOUBLE)
+                      - CAST(r.sx AS DOUBLE) * CAST(r.sx AS DOUBLE))
+         END AS m_ols
+  FROM bestd b LEFT JOIN refit r ON b.conv_id = r.conv_id
+)
+SELECT conv_id,
+       round(CASE WHEN n < 2 THEN NULL
+                  WHEN m_ols IS NOT NULL THEN m_ols
+                  ELSE m_best END / 100, 6) AS slope,
+       round(CASE WHEN n < 2 THEN NULL
+                  WHEN m_ols IS NOT NULL
+                    THEN (CAST(sy AS DOUBLE) - m_ols * CAST(sx AS DOUBLE))
+                         / CAST(k AS DOUBLE)
+                  ELSE b_best END / 100, 6) AS intercept,
+       CAST(CASE WHEN n < 2 THEN 0 ELSE k END AS INTEGER) AS n_inliers,
+       CAST(n AS INTEGER) AS n_obs
+FROM ols
+"""
+
 ORACLES_OPS["extract_ladder"] = f"""
 {_T},
 ex AS (
@@ -365,6 +575,167 @@ SELECT conv_id, turn_idx,
        trim(regexp_replace(regexp_replace(regexp_replace(text, '(?i)\\bturn\\b', '', 'g'),
                            '[^\\w\\s]', '', 'g'), '\\s+', ' ', 'g')) AS normalized
 FROM ex
+"""
+
+ORACLES_OPS["monotone_best_run"] = f"""
+{_T},
+l1 AS (
+  SELECT conv_id, turn_idx, ts, signal,
+         CASE WHEN lag(signal) OVER ({_ORD}) IS NULL
+                OR signal <= lag(signal) OVER ({_ORD})
+              THEN 1 ELSE 0 END AS brk
+  FROM transcripts
+),
+l2 AS (
+  SELECT conv_id, turn_idx, signal,
+         CAST(sum(brk) OVER ({_ORD}
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_id
+  FROM l1
+),
+runs AS (SELECT conv_id, run_id, count(*) AS run_len FROM l2 GROUP BY conv_id, run_id),
+best AS (
+  SELECT conv_id, run_id, run_len FROM (
+    SELECT *, row_number() OVER (PARTITION BY conv_id
+                                 ORDER BY run_len DESC, run_id ASC) AS bk
+    FROM runs
+  ) WHERE bk = 1
+)
+SELECT l2.conv_id, l2.turn_idx, round(l2.signal, 6) AS signal,
+       l2.run_id, CAST(b.run_len AS BIGINT) AS run_len
+FROM l2 JOIN best b ON l2.conv_id = b.conv_id AND l2.run_id = b.run_id
+"""
+
+_SUP_GAP_US = 24 * 3600 * 1_000_000
+_sup_levels = ",\n".join(
+    f"""k{k} AS (
+  SELECT k.conv_id,
+         CASE WHEN r.conv_id IS NULL THEN k.kept
+              WHEN len(list_filter(k.kept, x -> abs(x.us - r.us) < {_SUP_GAP_US})) = 0
+                THEN list_append(k.kept, struct_pack(rk := r.rk,
+                       turn_idx := r.turn_idx, us := r.us, v := r.signal))
+              ELSE k.kept END AS kept
+  FROM k{k - 1} k LEFT JOIN capped r ON r.conv_id = k.conv_id AND r.rk = {k}
+)"""
+    for k in range(2, 9)
+)
+ORACLES_OPS["rank_suppress"] = f"""
+{_T},
+ranked AS (
+  SELECT conv_id, CAST(turn_idx AS INTEGER) AS turn_idx, {US} AS us, signal,
+         CAST(row_number() OVER (PARTITION BY conv_id
+                                 ORDER BY signal DESC, turn_idx ASC) AS INTEGER) AS rk
+  FROM transcripts
+),
+capped AS (SELECT * FROM ranked WHERE rk <= 8),
+k1 AS (
+  SELECT conv_id,
+         [struct_pack(rk := rk, turn_idx := turn_idx, us := us, v := signal)] AS kept
+  FROM capped WHERE rk = 1
+),
+{_sup_levels}
+SELECT conv_id,
+       kept[CAST(i + 1 AS INTEGER)].turn_idx AS turn_idx,
+       round(kept[CAST(i + 1 AS INTEGER)].v, 6) AS signal,
+       kept[CAST(i + 1 AS INTEGER)].rk AS cand_rank,
+       CAST(i AS INTEGER) AS keep_nr
+FROM k8, unnest(range(len(kept))) AS t(i)
+"""
+
+ORACLES_OPS["geocode_enrich"] = f"""
+{_T},
+keys AS (
+  SELECT DISTINCT tool AS key FROM transcripts
+  WHERE tool IS NOT NULL AND tool <> ''
+),
+dim AS (SELECT * FROM (VALUES ('search', 12.5), ('bash', -44.25)) AS t(key, value)),
+j AS (SELECT k.key, d.value FROM keys k LEFT JOIN dim d ON k.key = d.key)
+SELECT key,
+       round(coalesce(value,
+             round((CAST(concat('0x', substr(md5(key), 1, 8)) AS BIGINT) % 36000000)
+                   / 100000.0 - 180.0, 6)), 6) AS value,
+       CASE WHEN value IS NOT NULL THEN 'cache' ELSE 'computed' END AS src
+FROM j
+"""
+
+# shared match CTE for the eval harness (mutual-nearest within radius)
+_EVAL_MATCH = f"""
+pred AS (
+  SELECT conv_id, tool AS class, turn_idx AS pred_idx, {US} AS pred_us
+  FROM transcripts
+  WHERE role = 'tool' AND tool IN ('search', 'bash', 'read', 'write', 'edit')
+),
+truth AS (
+  SELECT conv_id,
+         CASE CAST((turn_idx // 3) % 5 AS INTEGER)
+              WHEN 0 THEN 'search' WHEN 1 THEN 'bash' WHEN 2 THEN 'read'
+              WHEN 3 THEN 'write' ELSE 'edit' END AS class,
+         turn_idx AS truth_idx, {US} AS truth_us
+  FROM transcripts WHERE role = 'user' AND turn_idx % 3 = 0
+),
+cand AS (
+  SELECT p.conv_id, p.class, p.pred_idx, t.truth_idx,
+         abs(p.pred_us - t.truth_us) AS dist_us
+  FROM pred p JOIN truth t ON p.conv_id = t.conv_id AND p.class = t.class
+  WHERE abs(p.pred_us - t.truth_us) <= 300 * 1000000
+),
+r1 AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, class, pred_idx
+                               ORDER BY dist_us, truth_idx) AS rk1
+  FROM cand
+),
+r2 AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, class, truth_idx
+                               ORDER BY dist_us, pred_idx) AS rk2
+  FROM r1 WHERE rk1 = 1
+),
+matched AS (SELECT conv_id, class, pred_idx, truth_idx FROM r2 WHERE rk2 = 1)
+""".strip()
+
+ORACLES_OPS["eval_f1"] = f"""
+{_T},
+{_EVAL_MATCH},
+np_ AS (SELECT class, count(*) AS n_pred FROM pred GROUP BY class),
+nt AS (SELECT class, count(*) AS n_truth FROM truth GROUP BY class),
+tpc AS (SELECT class, count(*) AS tp FROM matched GROUP BY class),
+g AS (
+  SELECT coalesce(np_.class, nt.class) AS class,
+         CAST(coalesce(n_pred, 0) AS BIGINT) AS n_pred,
+         CAST(coalesce(n_truth, 0) AS BIGINT) AS n_truth
+  FROM np_ FULL JOIN nt ON np_.class = nt.class
+)
+SELECT g.class, g.n_pred, g.n_truth,
+       CAST(coalesce(t.tp, 0) AS BIGINT) AS tp,
+       round(CASE WHEN g.n_pred > 0 THEN coalesce(t.tp, 0) / g.n_pred END, 6)
+         AS precision,
+       round(CASE WHEN g.n_truth > 0 THEN coalesce(t.tp, 0) / g.n_truth END, 6)
+         AS recall,
+       round(CASE WHEN g.n_pred + g.n_truth > 0
+                  THEN 2.0 * coalesce(t.tp, 0) / (g.n_pred + g.n_truth) END, 6)
+         AS f1
+FROM g LEFT JOIN tpc t ON g.class = t.class
+"""
+
+ORACLES_OPS["eval_deciles"] = f"""
+{_T},
+{_EVAL_MATCH},
+npc AS (SELECT conv_id, count(*) AS n_pred FROM pred GROUP BY conv_id),
+ntc AS (SELECT conv_id, count(*) AS n_truth FROM truth GROUP BY conv_id),
+tpcv AS (SELECT conv_id, count(*) AS tp FROM matched GROUP BY conv_id),
+per_conv AS (
+  SELECT coalesce(npc.conv_id, ntc.conv_id) AS conv_id,
+         round(2.0 * coalesce(t.tp, 0)
+               / (coalesce(n_pred, 0) + coalesce(n_truth, 0)), 6) AS f1
+  FROM npc FULL JOIN ntc ON npc.conv_id = ntc.conv_id
+  LEFT JOIN tpcv t ON coalesce(npc.conv_id, ntc.conv_id) = t.conv_id
+),
+tiled AS (
+  SELECT f1, ntile(10) OVER (ORDER BY f1, conv_id) AS decile FROM per_conv
+)
+SELECT decile, count(*) AS n_convs,
+       round(avg(f1), 6) AS avg_f1,
+       round(min(f1), 6) AS min_f1,
+       round(max(f1), 6) AS max_f1
+FROM tiled GROUP BY decile
 """
 
 ORACLES_OPS["halt_predicate"] = f"""

@@ -11,7 +11,7 @@ from uncharted_ta1_pipeline_spark.operators import aggregates as agg
 from uncharted_ta1_pipeline_spark.operators import backfill as bf
 from uncharted_ta1_pipeline_spark.operators import filters as flt
 from uncharted_ta1_pipeline_spark.operators import joins as jn
-from uncharted_ta1_pipeline_spark.operators.outliers import mad_outliers
+from uncharted_ta1_pipeline_spark.operators.outliers import mad_outliers, ransac_slope
 from uncharted_ta1_pipeline_spark.plans.pipeline import halt_predicate
 from uncharted_ta1_pipeline_spark.sources.transcripts import load_transcripts
 
@@ -50,6 +50,10 @@ def q_coalesce_ladder(spark, sf_dir):
 
 def q_corner_join(spark, sf_dir):
     return jn.corner_join(_t(spark, sf_dir))
+
+
+def q_corner_join_passthrough(spark, sf_dir):
+    return jn.corner_join_passthrough(_t(spark, sf_dir))
 
 
 def q_nearest_join(spark, sf_dir):
@@ -92,8 +96,16 @@ def q_anchor_fallback(spark, sf_dir):
     return bf.anchor_fallback(_t(spark, sf_dir))
 
 
+def q_colinear_thirdpoint(spark, sf_dir):
+    return bf.colinear_thirdpoint(_t(spark, sf_dir))
+
+
 def q_mad_outliers(spark, sf_dir):
     return mad_outliers(_t(spark, sf_dir))
+
+
+def q_ransac_slope(spark, sf_dir):
+    return ransac_slope(_t(spark, sf_dir))
 
 
 def q_extract_ladder(spark, sf_dir):
@@ -104,6 +116,39 @@ def q_extract_ladder(spark, sf_dir):
         extract_ladder(F.col("text")).alias("extracted"),
         normalize_text(F.col("text")).alias("normalized"),
     )
+
+
+def q_monotone_best_run(spark, sf_dir):
+    from uncharted_ta1_pipeline_spark.operators.runs import best_monotone_run
+
+    return best_monotone_run(_t(spark, sf_dir))
+
+
+def q_rank_suppress(spark, sf_dir):
+    from uncharted_ta1_pipeline_spark.operators.runs import rank_suppress
+
+    return rank_suppress(_t(spark, sf_dir))
+
+
+def q_geocode_enrich(spark, sf_dir):
+    from uncharted_ta1_pipeline_spark.operators.enrich import geocode_enrich
+
+    dim = spark.createDataFrame(
+        [("search", 12.5), ("bash", -44.25)], "key string, value double"
+    )
+    return geocode_enrich(_t(spark, sf_dir), dim)
+
+
+def q_eval_f1(spark, sf_dir):
+    from uncharted_ta1_pipeline_spark.operators.evalm import eval_f1_per_class
+
+    return eval_f1_per_class(_t(spark, sf_dir))
+
+
+def q_eval_deciles(spark, sf_dir):
+    from uncharted_ta1_pipeline_spark.operators.evalm import eval_f1_deciles
+
+    return eval_f1_deciles(_t(spark, sf_dir))
 
 
 def q_halt_predicate(spark, sf_dir):
@@ -119,6 +164,7 @@ QUERIES_OPS = {
     "conditional_enrich": q_conditional_enrich,
     "coalesce_ladder": q_coalesce_ladder,
     "corner_join": q_corner_join,
+    "corner_join_passthrough": q_corner_join_passthrough,
     "nearest_join": q_nearest_join,
     "confidence_product": q_confidence_product,
     "source_histogram": q_source_histogram,
@@ -129,7 +175,14 @@ QUERIES_OPS = {
     "quadrant_coverage": q_quadrant_coverage,
     "inference_backfill": q_inference_backfill,
     "anchor_fallback": q_anchor_fallback,
+    "colinear_thirdpoint": q_colinear_thirdpoint,
     "mad_outliers": q_mad_outliers,
+    "ransac_slope": q_ransac_slope,
+    "monotone_best_run": q_monotone_best_run,
+    "rank_suppress": q_rank_suppress,
+    "geocode_enrich": q_geocode_enrich,
+    "eval_f1": q_eval_f1,
+    "eval_deciles": q_eval_deciles,
     "extract_ladder": q_extract_ladder,
     "halt_predicate": q_halt_predicate,
 }
