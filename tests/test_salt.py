@@ -42,3 +42,33 @@ def test_salted_on_synthetic_hot_conv(spark):
     plain = featurize(t).toPandas()
     salted = featurize_salted(t, chunk_size=256).toPandas()
     _cmp(plain, salted)
+
+
+def test_hybrid_narrow_equals_plain(spark):
+    """The narrow path (text dropped before the windows, re-joined after)
+    is a physical strategy too: output equals featurize() exactly,
+    byte-identical text included."""
+    from uncharted_ta1_pipeline_spark.operators.salt import featurize_hybrid
+    from uncharted_ta1_pipeline_spark.operators.windows import featurize
+    from uncharted_ta1_pipeline_spark.sources.transcripts import load_transcripts
+
+    t = load_transcripts(spark, SF_SMOKE)
+    plain = featurize(t).toPandas()
+    narrow = featurize_hybrid(t, narrow=True).toPandas()
+    _cmp(plain, narrow)
+
+
+def test_hybrid_narrow_routes_hot_convs(spark):
+    """narrow + hot routing together (a hot conv above the threshold)."""
+    from uncharted_ta1_pipeline_spark.operators.salt import featurize_hybrid
+    from uncharted_ta1_pipeline_spark.operators.windows import featurize
+    from uncharted_ta1_pipeline_spark.sources.transcripts import synth_transcripts
+
+    t = synth_transcripts(
+        spark, n_convs=10, mean_turns=30, hot_convs=1, hot_turns=2000, seed=11
+    )
+    plain = featurize(t).toPandas()
+    hybrid = featurize_hybrid(
+        t, hot_threshold=1000, chunk_size=256, narrow=True
+    ).toPandas()
+    _cmp(plain, hybrid)

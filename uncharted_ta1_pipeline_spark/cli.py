@@ -22,7 +22,7 @@ import json
 import sys
 
 
-def main(argv: list[str] | None = None) -> int:
+def main(argv: list[str] | None = None, spark=None) -> int:
     ap = argparse.ArgumentParser(prog="uncharted-ta1-pipeline-spark")
     ap.add_argument("--input", required=True, help="transcript table path")
     ap.add_argument("--workdir", required=True, help="checkpoint/output dir")
@@ -42,7 +42,9 @@ def main(argv: list[str] | None = None) -> int:
         read_transcripts,
     )
 
-    spark = get_spark(app_name="uncharted-ta1-pipeline-spark-cli")
+    owns_session = spark is None
+    if owns_session:
+        spark = get_spark(app_name="uncharted-ta1-pipeline-spark-cli")
     t = densify_turn_idx(read_transcripts(spark, args.input, args.format))
 
     stages = [
@@ -58,7 +60,8 @@ def main(argv: list[str] | None = None) -> int:
     out = p.run(spark, t, run_id=args.run_id, halt_min_turns=args.halt_min_turns)
     n = out.count()
     print(json.dumps({"run_id": args.run_id, "rows_out": n, "workdir": args.workdir}))
-    spark.stop()
+    if owns_session:
+        spark.stop()
     return 0
 
 

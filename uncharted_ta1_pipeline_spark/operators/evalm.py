@@ -116,6 +116,122 @@ def eval_f1_per_class(df: DataFrame, radius_s: int = RADIUS_S) -> DataFrame:
     )
 
 
+def _greedy_align(cand: F.Column, ref: F.Column) -> F.Column:
+    """METEOR's exact-match stage: align each candidate token (left to
+    right) to the smallest UNUSED reference position holding the same token.
+    Returns the ordered array<struct<ci,rj>> of matches.  Pure Catalyst
+    fold — O(|cand|·|ref|) per pair, fine for short metadata fields."""
+    acc_t = (
+        "named_struct('used', CAST(array() AS array<int>), "
+        "'pairs', CAST(array() AS array<struct<ci:int,rj:int>>))"
+    )
+
+    def step(acc, ci):
+        tok = F.element_at(cand, ci)
+        options = F.filter(
+            F.sequence(F.lit(1), F.size(ref)),
+            lambda j: (F.element_at(ref, j) == tok)
+            & ~F.array_contains(acc["used"], j),
+        )
+        nxt = F.get(options, 0)  # NULL when no unused match (ANSI-safe)
+        return F.when(nxt.isNull(), acc).otherwise(
+            F.struct(
+                F.concat(acc["used"], F.array(nxt)).alias("used"),
+                F.concat(
+                    acc["pairs"],
+                    F.array(F.struct(ci.alias("ci"), nxt.alias("rj"))),
+                ).alias("pairs"),
+            )
+        )
+
+    return F.aggregate(
+        F.sequence(F.lit(1), F.size(cand)), F.expr(acc_t), step
+    )["pairs"]
+
+
+def meteor_per_field(df: DataFrame) -> DataFrame:
+    """METEOR-style per-field scoring (exact-match unigram stage):
+    candidate = each conversation's first assistant/tool turn text,
+    reference = its first user turn text — ≈ the reference's per-field
+    metadata scorer (/root/reference/pipelines/metadata_extraction/
+    scorer.py:97-200: METEOR per extracted field, averaged).
+
+    Score = Fmean · (1 − penalty) with Fmean = 10PR/(R+9P),
+    penalty = 0.5·(chunks/matches)³ — the standard METEOR formula over the
+    greedy alignment; 0 when nothing matches."""
+    w = Window.partitionBy("conv_id", "role").orderBy("ts", "turn_idx")
+    firsts = (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("conv_id", "role", "text")
+    )
+    refs = firsts.filter(F.col("role") == "user").select(
+        "conv_id", F.col("text").alias("_ref_text")
+    )
+    cands = firsts.filter(F.col("role") != "user").select(
+        "conv_id", F.col("role").alias("field"), F.col("text").alias("_cand_text")
+    )
+    prs = cands.join(refs, on="conv_id").select(
+        "conv_id",
+        "field",
+        F.split("_cand_text", " ").alias("_cand"),
+        F.split("_ref_text", " ").alias("_ref"),
+    )
+    pairs = _greedy_align(F.col("_cand"), F.col("_ref"))
+    d = prs.withColumn("_pairs", pairs).select(
+        "conv_id",
+        "field",
+        F.size("_cand").alias("n_cand"),
+        F.size("_ref").alias("n_ref"),
+        F.size("_pairs").alias("matches"),
+        F.when(F.size("_pairs") <= 1, F.size("_pairs")).otherwise(
+            1
+            + F.aggregate(
+                F.sequence(F.lit(2), F.size("_pairs")),
+                F.lit(0),
+                lambda a, i: a
+                + F.when(
+                    (
+                        F.element_at(F.col("_pairs"), i)["ci"]
+                        == F.element_at(F.col("_pairs"), i - 1)["ci"] + 1
+                    )
+                    & (
+                        F.element_at(F.col("_pairs"), i)["rj"]
+                        == F.element_at(F.col("_pairs"), i - 1)["rj"] + 1
+                    ),
+                    F.lit(0),
+                ).otherwise(F.lit(1)),
+            )
+        ).alias("chunks"),
+    )
+    m = F.col("matches").cast("double")
+    p = m / F.col("n_cand")
+    r = m / F.col("n_ref")
+    fmean = 10.0 * p * r / (r + 9.0 * p)
+    frag = F.col("chunks").cast("double") / m
+    penalty = 0.5 * frag * frag * frag
+    return d.select(
+        "conv_id",
+        "field",
+        "n_cand",
+        "n_ref",
+        "matches",
+        "chunks",
+        F.round(F.when(F.col("matches") > 0, p).otherwise(F.lit(0.0)), 6).alias(
+            "m_precision"
+        ),
+        F.round(F.when(F.col("matches") > 0, r).otherwise(F.lit(0.0)), 6).alias(
+            "m_recall"
+        ),
+        F.round(
+            F.when(F.col("matches") > 0, fmean * (1.0 - penalty)).otherwise(
+                F.lit(0.0)
+            ),
+            6,
+        ).alias("meteor"),
+    )
+
+
 def eval_f1_deciles(df: DataFrame, radius_s: int = RADIUS_S) -> DataFrame:
     """Decile summary of per-conversation micro-F1
     (points_extraction_calc_metrics.py:120-144: bucketed score summary).

@@ -140,6 +140,29 @@ def token_budget_filter(
     )
 
 
+def finalize_left_join(df: DataFrame) -> DataFrame:
+    """Finalize: every tool observation LEFT JOINs its conversation's
+    (sparse) enrichment; rows without one get defaults and a flag instead of
+    being dropped (≈ FinalizePointExtractions: points left-join legend
+    info, missing legend -> defaults,
+    /root/reference/tasks/point_extraction/finalize_point_extractions.py).
+
+    Output: one row per tool turn with the enrichment value or the default.
+    """
+    enr = conditional_enrich(df).filter(F.col("enriched")).select(
+        "conv_id", "enrich_value"
+    )
+    obs = df.filter(F.col("role") == "tool").select("conv_id", "turn_idx")
+    return obs.join(F.broadcast(enr), on="conv_id", how="left").select(
+        "conv_id",
+        "turn_idx",
+        F.round(F.coalesce(F.col("enrich_value"), F.lit(0.0)), 6).alias(
+            "legend_value"
+        ),
+        F.col("enrich_value").isNotNull().alias("has_legend"),
+    )
+
+
 def conditional_enrich(df: DataFrame, max_distinct_tools: int = 2) -> DataFrame:
     """Run expensive enrichment only for under-covered conversations
     (≈ `_should_run` conditional stage skipping,

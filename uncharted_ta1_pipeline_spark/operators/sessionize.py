@@ -44,6 +44,53 @@ def with_sessions(
     )
 
 
+def denoise_segments(
+    df: DataFrame, min_signal: float = 5.0, max_len_s: int = 1000
+) -> DataFrame:
+    """Threshold + merge-overlapping-intervals (≈ DenoiseSegments: drop
+    low-confidence segments, union the overlapping survivors,
+    /root/reference/tasks/segmentation/segmenter_utils.py:70-89 +
+    detectron_segmenter.py's confidence threshold).
+
+    Transcript analog: each tool turn spans ``[ts, ts + signal/100 *
+    max_len_s]``; turns below ``min_signal`` are noise.  Overlapping
+    surviving intervals merge via the classic gap-and-island pass: a new
+    island starts where the interval's start exceeds the running max of all
+    previous ends (one window, integer microseconds, exact in both
+    engines).
+
+    Output: one row per merged island with its span and segment count."""
+    us = F.unix_micros(F.col("ts"))
+    segs = df.filter(
+        (F.col("role") == "tool") & (F.col("signal") >= min_signal)
+    ).select(
+        "conv_id",
+        "turn_idx",
+        us.alias("start_us"),
+        (
+            us
+            + (F.floor(F.col("signal") * 100) * F.lit(max_len_s * 10)).cast("long")
+        ).alias("end_us"),
+    )
+    w = Window.partitionBy("conv_id").orderBy("start_us", "end_us", "turn_idx")
+    prev_max_end = F.max("end_us").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = segs.withColumn(
+        "_new",
+        (prev_max_end.isNull() | (F.col("start_us") > prev_max_end)).cast("long"),
+    )
+    islands = flagged.withColumn(
+        "island_id",
+        F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return islands.groupBy("conv_id", "island_id").agg(
+        F.min("start_us").alias("start_us"),
+        F.max("end_us").alias("end_us"),
+        F.count(F.lit(1)).alias("n_segments"),
+    )
+
+
 def session_stats(
     df: DataFrame, gap_s: int = DEFAULT_GAP_S, gap_us: int | None = None
 ) -> DataFrame:

@@ -9,6 +9,8 @@ from uncharted_ta1_pipeline_spark.operators.outliers import (
 )
 from uncharted_ta1_pipeline_spark.sources.transcripts import TRANSCRIPTS_CTE
 
+_T_REC = f"WITH RECURSIVE {TRANSCRIPTS_CTE}"
+
 _T = f"WITH {TRANSCRIPTS_CTE}"
 _ORD = "PARTITION BY conv_id ORDER BY ts, turn_idx"
 US = "epoch_us(ts)"
@@ -118,6 +120,25 @@ enr AS (
 SELECT c.conv_id, c.n_distinct_tools,
        c.n_distinct_tools < 2 AS enriched, e.enrich_value
 FROM cov c LEFT JOIN enr e ON c.conv_id = e.conv_id
+"""
+
+ORACLES_OPS["finalize_left_join"] = f"""
+{_T},
+cov AS (
+  SELECT conv_id, count(DISTINCT nullif(tool, '')) AS n_distinct_tools
+  FROM transcripts GROUP BY conv_id
+),
+enr AS (
+  SELECT t.conv_id, round(avg(t.signal), 6) AS enrich_value
+  FROM transcripts t
+  JOIN cov c ON t.conv_id = c.conv_id AND c.n_distinct_tools < 2
+  GROUP BY t.conv_id
+)
+SELECT o.conv_id, o.turn_idx,
+       round(coalesce(e.enrich_value, 0.0), 6) AS legend_value,
+       e.enrich_value IS NOT NULL AS has_legend
+FROM (SELECT conv_id, turn_idx FROM transcripts WHERE role = 'tool') o
+LEFT JOIN enr e ON o.conv_id = e.conv_id
 """
 
 ORACLES_OPS["coalesce_ladder"] = f"""
@@ -577,6 +598,37 @@ SELECT conv_id, turn_idx,
 FROM ex
 """
 
+ORACLES_OPS["denoise_segments"] = f"""
+{_T},
+segs AS (
+  SELECT conv_id, turn_idx, {US} AS start_us,
+         {US} + CAST(floor(signal * 100) AS BIGINT) * 10000 AS end_us
+  FROM transcripts WHERE role = 'tool' AND signal >= 5.0
+),
+flagged AS (
+  SELECT *,
+         CASE WHEN max(end_us) OVER (PARTITION BY conv_id
+                ORDER BY start_us, end_us, turn_idx
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                OR start_us > max(end_us) OVER (PARTITION BY conv_id
+                   ORDER BY start_us, end_us, turn_idx
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS is_new
+  FROM segs
+),
+islands AS (
+  SELECT *, CAST(sum(is_new) OVER (PARTITION BY conv_id
+            ORDER BY start_us, end_us, turn_idx
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS island_id
+  FROM flagged
+)
+SELECT conv_id, island_id,
+       min(start_us) AS start_us, max(end_us) AS end_us,
+       count(*) AS n_segments
+FROM islands GROUP BY conv_id, island_id
+"""
+
 ORACLES_OPS["monotone_best_run"] = f"""
 {_T},
 l1 AS (
@@ -639,6 +691,73 @@ SELECT conv_id,
        kept[CAST(i + 1 AS INTEGER)].rk AS cand_rank,
        CAST(i AS INTEGER) AS keep_nr
 FROM k8, unnest(range(len(kept))) AS t(i)
+"""
+
+# METEOR exact-match stage: the greedy token alignment is a recursive CTE
+# stepping one candidate position per iteration, carrying the used-reference
+# set — the textual twin of evalm._greedy_align's Catalyst fold.
+ORACLES_OPS["meteor_fields"] = f"""
+{_T_REC},
+firsts AS (
+  SELECT conv_id, role, text FROM (
+    SELECT *, row_number() OVER (PARTITION BY conv_id, role
+                                 ORDER BY ts, turn_idx) AS rn
+    FROM transcripts
+  ) WHERE rn = 1
+),
+prs AS (
+  SELECT c.conv_id, c.role AS field,
+         string_split(c.text, ' ') AS cand, string_split(r.text, ' ') AS ref
+  FROM firsts c JOIN firsts r ON c.conv_id = r.conv_id AND r.role = 'user'
+  WHERE c.role <> 'user'
+),
+m AS (
+  SELECT conv_id, field, cand, ref, 0 AS ci,
+         CAST([] AS BIGINT[]) AS used,
+         CAST([] AS STRUCT(ci BIGINT, rj BIGINT)[]) AS pairs
+  FROM prs
+  UNION ALL
+  SELECT conv_id, field, cand, ref, ci + 1,
+         CASE WHEN nxt IS NULL THEN used ELSE list_append(used, nxt) END,
+         CASE WHEN nxt IS NULL THEN pairs
+              ELSE list_append(pairs, {{ci: ci + 1, rj: nxt}}) END
+  FROM (
+    SELECT *, (list_filter(range(1, len(ref) + 1),
+               j -> ref[j] = cand[ci + 1] AND NOT list_contains(used, j)))[1] AS nxt
+    FROM m WHERE ci < len(cand)
+  )
+),
+fin AS (SELECT * FROM m WHERE ci = len(cand)),
+scored AS (
+  SELECT conv_id, field,
+         CAST(len(cand) AS BIGINT) AS n_cand,
+         CAST(len(ref) AS BIGINT) AS n_ref,
+         CAST(len(pairs) AS BIGINT) AS matches,
+         CAST(CASE WHEN len(pairs) <= 1 THEN len(pairs)
+              ELSE 1 + list_sum(list_transform(range(2, len(pairs) + 1),
+                   i -> CASE WHEN pairs[i].ci = pairs[i-1].ci + 1
+                              AND pairs[i].rj = pairs[i-1].rj + 1
+                        THEN 0 ELSE 1 END))
+              END AS BIGINT) AS chunks
+  FROM fin
+)
+SELECT conv_id, field, n_cand, n_ref, matches, chunks,
+       round(CASE WHEN matches > 0
+                  THEN CAST(matches AS DOUBLE) / n_cand ELSE 0.0 END, 6)
+         AS m_precision,
+       round(CASE WHEN matches > 0
+                  THEN CAST(matches AS DOUBLE) / n_ref ELSE 0.0 END, 6)
+         AS m_recall,
+       round(CASE WHEN matches > 0 THEN
+               (10.0 * (CAST(matches AS DOUBLE) / n_cand)
+                     * (CAST(matches AS DOUBLE) / n_ref)
+                / ((CAST(matches AS DOUBLE) / n_ref)
+                   + 9.0 * (CAST(matches AS DOUBLE) / n_cand)))
+               * (1.0 - 0.5 * (CAST(chunks AS DOUBLE) / matches)
+                            * (CAST(chunks AS DOUBLE) / matches)
+                            * (CAST(chunks AS DOUBLE) / matches))
+             ELSE 0.0 END, 6) AS meteor
+FROM scored
 """
 
 ORACLES_OPS["geocode_enrich"] = f"""

@@ -44,6 +44,10 @@ def q_conditional_enrich(spark, sf_dir):
     return flt.conditional_enrich(_t(spark, sf_dir))
 
 
+def q_finalize_left_join(spark, sf_dir):
+    return flt.finalize_left_join(_t(spark, sf_dir))
+
+
 def q_coalesce_ladder(spark, sf_dir):
     return jn.coalesce_ladder(_t(spark, sf_dir))
 
@@ -118,6 +122,12 @@ def q_extract_ladder(spark, sf_dir):
     )
 
 
+def q_denoise_segments(spark, sf_dir):
+    from uncharted_ta1_pipeline_spark.operators.sessionize import denoise_segments
+
+    return denoise_segments(_t(spark, sf_dir))
+
+
 def q_monotone_best_run(spark, sf_dir):
     from uncharted_ta1_pipeline_spark.operators.runs import best_monotone_run
 
@@ -151,6 +161,12 @@ def q_eval_deciles(spark, sf_dir):
     return eval_f1_deciles(_t(spark, sf_dir))
 
 
+def q_meteor_fields(spark, sf_dir):
+    from uncharted_ta1_pipeline_spark.operators.evalm import meteor_per_field
+
+    return meteor_per_field(_t(spark, sf_dir))
+
+
 def q_halt_predicate(spark, sf_dir):
     # threshold high enough to actually halt some conversations at sf0.01
     return halt_predicate(_t(spark, sf_dir), min_turns=50)
@@ -162,6 +178,7 @@ QUERIES_OPS = {
     "range_filter_readd": q_range_filter_readd,
     "token_budget_filter": q_token_budget_filter,
     "conditional_enrich": q_conditional_enrich,
+    "finalize_left_join": q_finalize_left_join,
     "coalesce_ladder": q_coalesce_ladder,
     "corner_join": q_corner_join,
     "corner_join_passthrough": q_corner_join_passthrough,
@@ -178,11 +195,13 @@ QUERIES_OPS = {
     "colinear_thirdpoint": q_colinear_thirdpoint,
     "mad_outliers": q_mad_outliers,
     "ransac_slope": q_ransac_slope,
+    "denoise_segments": q_denoise_segments,
     "monotone_best_run": q_monotone_best_run,
     "rank_suppress": q_rank_suppress,
     "geocode_enrich": q_geocode_enrich,
     "eval_f1": q_eval_f1,
     "eval_deciles": q_eval_deciles,
+    "meteor_fields": q_meteor_fields,
     "extract_ladder": q_extract_ladder,
     "halt_predicate": q_halt_predicate,
 }

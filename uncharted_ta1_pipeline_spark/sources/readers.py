@@ -16,6 +16,10 @@ TRANSCRIPT_SCHEMA = (
     "ts timestamp, signal double"
 )
 
+# JSON's default timestamp format truncates to milliseconds; the transcript
+# ts axis is microsecond-resolution, so pin a lossless format on both sides.
+JSON_TS_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+
 
 def read_transcripts(
     spark: SparkSession, path: str, fmt: str = "parquet"
@@ -26,7 +30,11 @@ def read_transcripts(
     if fmt == "parquet":
         df = spark.read.parquet(path)
     elif fmt == "json":
-        df = spark.read.schema(TRANSCRIPT_SCHEMA).json(path)
+        df = (
+            spark.read.schema(TRANSCRIPT_SCHEMA)
+            .option("timestampFormat", JSON_TS_FMT)
+            .json(path)
+        )
     elif fmt == "csv":
         df = spark.read.schema(TRANSCRIPT_SCHEMA).option("header", "true").csv(path)
     else:
@@ -50,7 +58,7 @@ def densify_turn_idx(df: DataFrame) -> DataFrame:
 
 def write_json(df: DataFrame, path: str, n_files: int | None = None) -> None:
     out = df.repartition(n_files) if n_files else df
-    out.write.mode("overwrite").json(path)
+    out.write.mode("overwrite").option("timestampFormat", JSON_TS_FMT).json(path)
 
 
 def write_parquet_partitioned(
