@@ -50,6 +50,8 @@ def main() -> None:
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--runs", type=int, default=0,
                     help="override measured runs per query (0 = default)")
+    ap.add_argument("--narrow", action="store_true",
+                    help="featurize with text dropped pre-window + re-join")
     args = ap.parse_args()
 
     import pyspark.sql.functions as F  # noqa: F401
@@ -94,7 +96,7 @@ def main() -> None:
 
     # headline: full leakage-free feature materialization (hybrid physical
     # strategy — hot conversations take the salted/chunked path)
-    feats = featurize_hybrid(t)
+    feats = featurize_hybrid(t, narrow=args.narrow)
     big = args.synth >= 4_000_000
     timings["featurize_full"] = materialize(
         feats, warmup=1 if big else 2, runs=args.runs or (2 if big else 3)

@@ -75,3 +75,44 @@ def test_asof_no_cross_join(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "RunningWindowFunction" in plan or "Window" in plan
+
+
+def test_fit_predict_no_cross_join(spark):
+    """fit-predict-at-probe rides the as-of machinery: sort+window, never a
+    cartesian or broadcast-nested-loop join."""
+    from uncharted_ta1_pipeline_spark.operators.asof import fit_predict_at_probes
+    from uncharted_ta1_pipeline_spark.sources.transcripts import (
+        load_transcripts,
+        make_probes,
+    )
+
+    t = load_transcripts(spark, SF_SMOKE)
+    plan = _plan(fit_predict_at_probes(make_probes(t), t))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_rank_suppress_no_cross_join_no_python(spark):
+    """The greedy suppression folds JVM-side: no UDF eval, no cross join."""
+    from uncharted_ta1_pipeline_spark.operators.runs import rank_suppress
+    from uncharted_ta1_pipeline_spark.sources.transcripts import load_transcripts
+
+    plan = _plan(rank_suppress(load_transcripts(spark, SF_SMOKE)))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_eval_match_uses_equi_join(spark):
+    """Candidate generation for the eval harness is an equi-join on
+    (conv_id, class) plus a pushed filter — not a theta/nested-loop join."""
+    from uncharted_ta1_pipeline_spark.operators.evalm import (
+        match_pairs,
+        predictions,
+        truths,
+    )
+    from uncharted_ta1_pipeline_spark.sources.transcripts import load_transcripts
+
+    t = load_transcripts(spark, SF_SMOKE)
+    plan = _plan(match_pairs(predictions(t), truths(t)))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -72,3 +72,16 @@ def test_hybrid_narrow_routes_hot_convs(spark):
         t, hot_threshold=1000, chunk_size=256, narrow=True
     ).toPandas()
     _cmp(plain, hybrid)
+
+
+def test_chunk_size_guard(spark):
+    """chunk_size <= rolling_width would silently corrupt boundary frames;
+    it must raise instead."""
+    import pytest
+
+    from uncharted_ta1_pipeline_spark.operators.salt import featurize_salted
+    from uncharted_ta1_pipeline_spark.sources.transcripts import load_transcripts
+
+    t = load_transcripts(spark, SF_SMOKE)
+    with pytest.raises(ValueError, match="chunk_size"):
+        featurize_salted(t, chunk_size=5, rolling_width=5)

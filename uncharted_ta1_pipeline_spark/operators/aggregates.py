@@ -151,3 +151,91 @@ def quadrant_coverage(df: DataFrame) -> DataFrame:
             ).alias("synthetic_probe_us"),
         )
     )
+
+
+def color_level(df: DataFrame) -> DataFrame:
+    """Variance-bucketed level per conversation (≈ `_compute_color_level`:
+    classify a tile by a variance-style statistic of its pixels,
+    /root/reference/tasks/geo_referencing/coordinates_extractor.py — tile
+    color-level gating).
+
+    Population variance recovered from plain sums in double with the
+    identical expression tree in the DuckDB oracle (one partial-aggregable
+    pass, no window)."""
+    g = df.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("signal").alias("_s"),
+        F.sum(F.col("signal") * F.col("signal")).alias("_ss"),
+    )
+    n = F.col("n").cast("double")
+    mean = F.col("_s") / n
+    var = F.col("_ss") / n - mean * mean
+    return g.select(
+        "conv_id",
+        "n",
+        F.round(var, 6).alias("variance"),
+        F.when(var < 400.0, F.lit("low"))
+        .when(var < 800.0, F.lit("mid"))
+        .otherwise(F.lit("high"))
+        .alias("level"),
+    )
+
+
+def metadata_record(df: DataFrame) -> DataFrame:
+    """Per-conversation metadata record assembly — the deterministic
+    re-expression of the reference's LLM metadata extractor output
+    (/root/reference/tasks/metadata_extraction/metadata_extraction.py:
+    one pydantic record per map with title/scale/quadrangle...; here each
+    field is a deterministic aggregate over the conversation's turns):
+
+    - dominant_role: mode of role (argmax count, ties -> lexicographic);
+    - first_text: the first turn's text (stable ordering invariant);
+    - top_tool: most-used non-empty tool (ties -> lexicographic);
+    - peak_signal / n_turns: plain aggregates.
+
+    One groupBy pass using max_by over (count, negated-lexicographic)
+    structs — partial-aggregable, no window."""
+    role_counts = df.groupBy("conv_id", "role").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    # argmax with deterministic ties: rank by (count desc, role asc)
+    w_r = Window.partitionBy("conv_id").orderBy(
+        F.col("_n").desc(), F.col("role").asc()
+    )
+    dom_role = (
+        role_counts.withColumn("_rk", F.row_number().over(w_r))
+        .filter(F.col("_rk") == 1)
+        .select("conv_id", F.col("role").alias("dominant_role"))
+    )
+    tool_counts = (
+        df.filter(F.col("tool").isNotNull() & (F.col("tool") != ""))
+        .groupBy("conv_id", "tool")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    w_t = Window.partitionBy("conv_id").orderBy(
+        F.col("_n").desc(), F.col("tool").asc()
+    )
+    top_tool = (
+        tool_counts.withColumn("_rk", F.row_number().over(w_t))
+        .filter(F.col("_rk") == 1)
+        .select("conv_id", F.col("tool").alias("top_tool"))
+    )
+    base = df.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.round(F.max("signal"), 6).alias("peak_signal"),
+    )
+    w_first = Window.partitionBy("conv_id").orderBy("ts", "turn_idx")
+    first_text = (
+        df.withColumn("_rk", F.row_number().over(w_first))
+        .filter(F.col("_rk") == 1)
+        .select("conv_id", F.col("text").alias("first_text"))
+    )
+    return (
+        base.join(first_text, on="conv_id", how="left")
+        .join(dom_role, on="conv_id", how="left")
+        .join(top_tool, on="conv_id", how="left")
+        .select(
+            "conv_id", "n_turns", "dominant_role", "top_tool",
+            "first_text", "peak_signal",
+        )
+    )

@@ -43,7 +43,7 @@ def featurize_hybrid(
     chunk_size: int = DEFAULT_CHUNK,
     rolling_width: int = 5,
     gap_s: int = 1800,
-    narrow: bool = True,
+    narrow: bool = False,
 ) -> DataFrame:
     """Route conversations by size: the few above ``hot_threshold`` turns
     take the chunked/salted path; everything else takes the plain
@@ -52,14 +52,18 @@ def featurize_hybrid(
     image exceeds the pixel limit).  Same output as ``featurize`` for any
     routing.
 
-    ``narrow`` (default): the ``text`` column — by far the widest, and
-    never an input to any window function — is dropped BEFORE the window
-    stages and sort-merge-joined back by (conv_id, turn_idx) at the end.
-    The window buffers then hold only the ~14 narrow feature columns:
-    measured scaling efficiency 0.70 -> 0.78 and the fastest absolute time
-    at 16 cores (4M-turn featurize) on this host, because the buffered
-    bytes per group drop ~3x.  Exact same output (asserted in
-    tests/test_salt.py)."""
+    ``narrow``: drop the ``text`` column — by far the widest, never an
+    input to any window function — BEFORE the window stages and join it
+    back by (conv_id, turn_idx) at the end, so window buffers hold only
+    the ~14 narrow feature columns.  Measured trade-off on this host
+    (12M-turn hybrid input, same-invocation A/B): wide 64.4s/26.1s vs
+    narrow 77.4s/32.1s at local[4]/local[16] — the re-join's extra
+    shuffle+sort of 12M text rows costs more than the narrower buffers
+    save, so the default is False; narrow scales slightly better
+    (0.72 vs 0.62 efficiency) and wins on window-dominated inputs
+    (small-conversation-only data measured 0.78 and fastest absolute at
+    16 cores), so it stays available per-call.  Exact same output either
+    way (asserted in tests/test_salt.py)."""
     if narrow and "text" in df.columns:
         feats = featurize_hybrid(
             df.drop("text"),

@@ -91,6 +91,38 @@ def denoise_segments(
     )
 
 
+def text_with_segments(df: DataFrame, min_signal: float = 5.0) -> DataFrame:
+    """Containment semi-join: which turns fall INSIDE a denoised segment
+    interval (≈ TextWithSegments: keep OCR text whose bbox is contained in
+    a segmentation polygon, /root/reference/tasks/text_extraction/
+    entities.py TEXT_EXTRACTION_OUTPUT_KEY join in segmenter flows).
+
+    Scale-safe containment: islands within a conversation are disjoint and
+    sorted, so "which island contains ts" is an AS-OF lookup (latest island
+    start <= ts) plus an end-bound check — reusing the engine's as-of
+    machinery instead of a range cross-join.  The DuckDB oracle does the
+    naive BETWEEN join; results must agree exactly."""
+    from uncharted_ta1_pipeline_spark.operators.asof import asof_join
+
+    islands = denoise_segments(df, min_signal=min_signal).withColumn(
+        "start_ts", F.timestamp_micros(F.col("start_us"))
+    )
+    turns = df.select("conv_id", "turn_idx", "ts")
+    joined = asof_join(
+        turns,
+        islands,
+        key="conv_id",
+        probe_ts="ts",
+        state_ts="start_ts",
+        state_cols=["island_id", "start_us", "end_us"],
+        state_tiebreak="island_id",
+    )
+    us = F.unix_micros(F.col("ts"))
+    return joined.filter(
+        F.col("island_id").isNotNull() & (us <= F.col("end_us"))
+    ).select("conv_id", "turn_idx", "island_id", "start_us", "end_us")
+
+
 def session_stats(
     df: DataFrame, gap_s: int = DEFAULT_GAP_S, gap_us: int | None = None
 ) -> DataFrame:

@@ -629,6 +629,98 @@ SELECT conv_id, island_id,
 FROM islands GROUP BY conv_id, island_id
 """
 
+# containment semi-join: the oracle does the naive BETWEEN range join; the
+# engine's as-of implementation must agree exactly
+ORACLES_OPS["text_with_segments"] = f"""
+{_T},
+segs AS (
+  SELECT conv_id, turn_idx, {US} AS start_us,
+         {US} + CAST(floor(signal * 100) AS BIGINT) * 10000 AS end_us
+  FROM transcripts WHERE role = 'tool' AND signal >= 5.0
+),
+flagged AS (
+  SELECT *,
+         CASE WHEN max(end_us) OVER (PARTITION BY conv_id
+                ORDER BY start_us, end_us, turn_idx
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                OR start_us > max(end_us) OVER (PARTITION BY conv_id
+                   ORDER BY start_us, end_us, turn_idx
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS is_new
+  FROM segs
+),
+islands0 AS (
+  SELECT *, CAST(sum(is_new) OVER (PARTITION BY conv_id
+            ORDER BY start_us, end_us, turn_idx
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS island_id
+  FROM flagged
+),
+islands AS (
+  SELECT conv_id, island_id,
+         min(start_us) AS start_us, max(end_us) AS end_us
+  FROM islands0 GROUP BY conv_id, island_id
+)
+SELECT t.conv_id, t.turn_idx, i.island_id, i.start_us, i.end_us
+FROM transcripts t
+JOIN islands i ON t.conv_id = i.conv_id
+              AND {US.replace("ts", "t.ts")} BETWEEN i.start_us AND i.end_us
+"""
+
+ORACLES_OPS["metadata_record"] = f"""
+{_T},
+dom AS (
+  SELECT conv_id, role AS dominant_role FROM (
+    SELECT conv_id, role,
+           row_number() OVER (PARTITION BY conv_id
+                              ORDER BY count(*) DESC, role ASC) AS rk
+    FROM transcripts GROUP BY conv_id, role
+  ) WHERE rk = 1
+),
+tt AS (
+  SELECT conv_id, tool AS top_tool FROM (
+    SELECT conv_id, tool,
+           row_number() OVER (PARTITION BY conv_id
+                              ORDER BY count(*) DESC, tool ASC) AS rk
+    FROM transcripts WHERE tool IS NOT NULL AND tool <> ''
+    GROUP BY conv_id, tool
+  ) WHERE rk = 1
+),
+base AS (
+  SELECT conv_id, count(*) AS n_turns,
+         round(max(signal), 6) AS peak_signal
+  FROM transcripts GROUP BY conv_id
+),
+ft AS (
+  SELECT conv_id, text AS first_text FROM (
+    SELECT conv_id, text,
+           row_number() OVER ({_ORD}) AS rk
+    FROM transcripts
+  ) WHERE rk = 1
+)
+SELECT b.conv_id, b.n_turns, d.dominant_role, t.top_tool,
+       f.first_text, b.peak_signal
+FROM base b
+LEFT JOIN ft f ON b.conv_id = f.conv_id
+LEFT JOIN dom d ON b.conv_id = d.conv_id
+LEFT JOIN tt t ON b.conv_id = t.conv_id
+"""
+
+ORACLES_OPS["color_level"] = f"""
+{_T},
+g AS (
+  SELECT conv_id, count(*) AS n,
+         sum(signal) AS s, sum(signal * signal) AS ss
+  FROM transcripts GROUP BY conv_id
+)
+SELECT conv_id, n,
+       round(ss / n - (s / n) * (s / n), 6) AS variance,
+       CASE WHEN ss / n - (s / n) * (s / n) < 400.0 THEN 'low'
+            WHEN ss / n - (s / n) * (s / n) < 800.0 THEN 'mid'
+            ELSE 'high' END AS level
+FROM g
+"""
+
 ORACLES_OPS["monotone_best_run"] = f"""
 {_T},
 l1 AS (

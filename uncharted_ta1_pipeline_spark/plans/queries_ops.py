@@ -128,6 +128,20 @@ def q_denoise_segments(spark, sf_dir):
     return denoise_segments(_t(spark, sf_dir))
 
 
+def q_text_with_segments(spark, sf_dir):
+    from uncharted_ta1_pipeline_spark.operators.sessionize import text_with_segments
+
+    return text_with_segments(_t(spark, sf_dir))
+
+
+def q_color_level(spark, sf_dir):
+    return agg.color_level(_t(spark, sf_dir))
+
+
+def q_metadata_record(spark, sf_dir):
+    return agg.metadata_record(_t(spark, sf_dir))
+
+
 def q_monotone_best_run(spark, sf_dir):
     from uncharted_ta1_pipeline_spark.operators.runs import best_monotone_run
 
@@ -196,6 +210,9 @@ QUERIES_OPS = {
     "mad_outliers": q_mad_outliers,
     "ransac_slope": q_ransac_slope,
     "denoise_segments": q_denoise_segments,
+    "text_with_segments": q_text_with_segments,
+    "color_level": q_color_level,
+    "metadata_record": q_metadata_record,
     "monotone_best_run": q_monotone_best_run,
     "rank_suppress": q_rank_suppress,
     "geocode_enrich": q_geocode_enrich,
