@@ -57,17 +57,18 @@ def dedup_exact(docs: DataFrame) -> DataFrame:
 
 
 def _word_shingles(text: F.Column) -> F.Column:
-    """Adjacent word-bigram shingles (order-preserving)."""
+    """Adjacent word-bigram shingles (order-preserving).
+
+    zip_with over two slices of the split array — O(words) per document.
+    (A transform over indices with element_at(split(...), i) re-inlines the
+    split into EVERY element access — O(words²) per doc, measured 10x
+    slower at sf0.1.)"""
     words = F.split(text, " ")
-    n = F.size(words)
-    idx = F.when(n >= 2, F.sequence(F.lit(0), n - 2)).otherwise(
-        F.array().cast("array<int>")
-    )
-    return F.transform(
-        idx,
-        lambda i: F.concat(
-            F.element_at(words, i + 1), F.lit("_"), F.element_at(words, i + 2)
-        ),
+    n1 = F.greatest(F.size(words) - 1, F.lit(0))
+    return F.zip_with(
+        F.slice(words, 1, n1),
+        F.slice(words, 2, n1),
+        lambda a, b: F.concat(a, F.lit("_"), b),
     )
 
 
@@ -93,25 +94,30 @@ def minhash_signature(docs: DataFrame, n_perms: int = N_PERMS) -> DataFrame:
 
 
 def minhash_bands(docs: DataFrame) -> DataFrame:
-    """(doc_id, band, band_key) rows: 16 bands x 4 signature rows."""
+    """(doc_id, band, band_key) rows: 16 bands x 4 signature rows.
+
+    One explode of a 16-element band array — NOT a 16-way union, which
+    would make Catalyst recompute the whole signature aggregation once per
+    branch (measured 8x slower; DataFrame unions don't share subtrees)."""
     sig = minhash_signature(docs)
-    bands = []
-    for b in range(N_BANDS):
-        cols = [
-            F.col(f"sig{b * BAND_ROWS + i}").cast("string")
-            for i in range(BAND_ROWS)
-        ]
-        bands.append(
-            sig.select(
-                "doc_id",
-                F.lit(b).alias("band"),
-                F.md5(F.concat_ws("#", *cols)).alias("band_key"),
-            )
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    "#",
+                    *[
+                        F.col(f"sig{b * BAND_ROWS + i}").cast("string")
+                        for i in range(BAND_ROWS)
+                    ],
+                )
+            ).alias("band_key"),
         )
-    banded = bands[0]
-    for extra in bands[1:]:
-        banded = banded.unionByName(extra)
-    return banded
+        for b in range(N_BANDS)
+    ]
+    return sig.select("doc_id", F.explode(F.array(*band_structs)).alias("_b")).select(
+        "doc_id", F.col("_b.band").alias("band"), F.col("_b.band_key").alias("band_key")
+    )
 
 
 def minhash_lsh_pairs(
@@ -125,14 +131,19 @@ def minhash_lsh_pairs(
     boilerplate documents landing on one band_key — would otherwise go
     quadratic on a single join key; documents that similar are exact-dedup's
     job (dedup_exact runs first in the pipeline), not LSH's."""
-    banded = minhash_bands(docs)
-    small = (
-        banded.groupBy("band", "band_key")
-        .agg(F.count(F.lit(1)).alias("_bn"))
+    from pyspark.sql import Window
+
+    # bucket-size cap as a count-over-window filter (not a groupBy+join):
+    # the window shuffles by the SAME (band, band_key) key the self-join
+    # uses, so both join sides reuse one exchange and the signature
+    # aggregation runs once, not three times (measured 2x faster at sf0.1).
+    w_bucket = Window.partitionBy("band", "band_key")
+    banded = (
+        minhash_bands(docs)
+        .withColumn("_bn", F.count(F.lit(1)).over(w_bucket))
         .filter(F.col("_bn") <= max_band_df)
-        .select("band", "band_key")
+        .drop("_bn")
     )
-    banded = banded.join(small, on=["band", "band_key"])
     l = banded.alias("l")
     r = banded.alias("r")
     return (
