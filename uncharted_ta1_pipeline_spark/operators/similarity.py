@@ -11,6 +11,8 @@
 
 from __future__ import annotations
 
+import hashlib
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
@@ -18,6 +20,21 @@ from pyspark.sql import DataFrame, Window
 ANN_TABLES = 4
 ANN_PLANES = 4
 ANN_MAX_BUCKET = 256
+EMB_DIM = 64  # embeddings.parquet dimension (constant across SFs)
+
+
+def plane_sign_vector(plane: int, dim: int = EMB_DIM) -> list[float]:
+    """The ±1 hyperplane for ``plane``, derived from md5(plane|d) exactly
+    like the in-engine expression used to — but CONSTANT-FOLDED in Python
+    (hashlib md5 == both engines' md5), so the per-row work is one dot
+    product against a literal array instead of dim md5 calls.  First hex
+    nibble <= 7 -> -1.0 (same rule as strpos(HEX, c) <= 8)."""
+    return [
+        -1.0
+        if int(hashlib.md5(f"{plane}|{d}".encode()).hexdigest()[0], 16) <= 7
+        else 1.0
+        for d in range(dim)
+    ]
 
 
 def cosine(a: F.Column, b: F.Column) -> F.Column:
@@ -57,22 +74,11 @@ def ann_bruteforce(
     )
 
 
-def _hyperplane_sign(v: F.Column, plane: int) -> F.Column:
+def _hyperplane_sign(v: F.Column, plane: int, dim: int = EMB_DIM) -> F.Column:
     """Sign of <v, h_plane> where h_plane[d] = ±1 derived from
-    md5(plane|d) — deterministic pseudo-random hyperplane."""
-    dim = F.size(v)
-    idx = F.sequence(F.lit(0), dim - 1)
-    signs = F.transform(
-        idx,
-        lambda d: F.when(
-            F.position(
-                F.substring(F.md5(F.concat_ws("|", F.lit(str(plane)), d.cast("string"))), 1, 1),
-                F.lit("0123456789abcdef"),
-            )
-            <= 8,
-            F.lit(-1.0),
-        ).otherwise(F.lit(1.0)),
-    )
+    md5(plane|d) — deterministic pseudo-random hyperplane, constant-folded
+    to a literal array (see plane_sign_vector)."""
+    signs = F.array(*[F.lit(s) for s in plane_sign_vector(plane, dim)])
     dot = F.aggregate(
         F.zip_with(v, signs, lambda x, s: x * s), F.lit(0.0), lambda acc, x: acc + x
     )

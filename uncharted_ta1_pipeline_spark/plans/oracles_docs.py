@@ -158,20 +158,22 @@ SELECT query_id, neighbor_id, cosine, rk FROM ranked WHERE rk <= 10
 """
 
 # multi-table LSH: per table, 4 inline plane-sign terms sum to the bucket id;
-# plane ids are namespaced table*1000+p exactly as in operators/similarity.py
+# plane ids are namespaced table*1000+p, and the hyperplanes are the SAME
+# constant-folded ±1 literal arrays the Spark side uses (hashlib md5 ==
+# both engines' md5) — see operators/similarity.py:plane_sign_vector.
 from uncharted_ta1_pipeline_spark.operators.similarity import (  # noqa: E402
     ANN_MAX_BUCKET,
     ANN_PLANES,
     ANN_TABLES,
+    plane_sign_vector,
 )
 
 
 def _plane_sign_sql(pid: int) -> str:
+    lits = ", ".join(str(s) for s in plane_sign_vector(pid))
     return (
         "CASE WHEN list_dot_product(embedding::DOUBLE[], "
-        "list_transform(range(len(embedding)), "
-        f"d -> CASE WHEN strpos('{HEX}', substr(md5('{pid}' || '|' || CAST(d AS VARCHAR)), 1, 1)) <= 8 "
-        "THEN -1.0 ELSE 1.0 END)::DOUBLE[]) >= 0 THEN 1 ELSE 0 END"
+        f"[{lits}]::DOUBLE[]) >= 0 THEN 1 ELSE 0 END"
     )
 
 
