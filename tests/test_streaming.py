@@ -131,3 +131,42 @@ def test_stream_running_features(spark, tmp_path):
     got_s = got.sort_values(key).reset_index(drop=True)
     want_s = want.sort_values(key).reset_index(drop=True)[got_s.columns]
     assert got_s.equals(want_s)
+
+
+def test_running_update_timeout_removes_state():
+    """The GroupState-timeout branch must remove idle state and emit
+    nothing — never re-arm the timer or emit a spurious row."""
+    import pandas as pd
+
+    from uncharted_ta1_pipeline_spark.streaming.sessions import running_update
+
+    class FakeState:
+        def __init__(self):
+            self.hasTimedOut = True
+            self.exists = True
+            self.get = (5, 2)
+            self.removed = False
+            self.updated = None
+            self.timeout_set = False
+
+        def remove(self):
+            self.removed = True
+
+        def update(self, v):
+            self.updated = v
+
+        def setTimeoutDuration(self, ms):
+            self.timeout_set = True
+
+    st = FakeState()
+    out = list(running_update(("c1",), iter([]), st))
+    assert out == []
+    assert st.removed and st.updated is None and not st.timeout_set
+
+    # normal path still accumulates and re-arms
+    st2 = FakeState()
+    st2.hasTimedOut = False
+    pdf = pd.DataFrame({"tool": ["search", None, ""]})
+    out2 = list(running_update(("c1",), iter([pdf]), st2))
+    assert len(out2) == 1
+    assert st2.updated == (8, 3) and st2.timeout_set

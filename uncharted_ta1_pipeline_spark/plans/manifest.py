@@ -66,8 +66,11 @@ def committed_buckets(out_dir: str, cfg_hash: str) -> dict[int, dict]:
 
 
 def _bucketed(df: DataFrame, n_buckets: int) -> DataFrame:
+    # bucket on conv_id when present (the engine's canonical key); side-input
+    # dims keyed otherwise bucket on their first column
+    key = "conv_id" if "conv_id" in df.columns else df.columns[0]
     return df.withColumn(
-        "bucket", F.pmod(F.xxhash64(F.col("conv_id")), F.lit(n_buckets)).cast("int")
+        "bucket", F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets)).cast("int")
     )
 
 

@@ -56,6 +56,48 @@ def halt_predicate(df: DataFrame, min_turns: int = 2) -> DataFrame:
     )
 
 
+def run_side_input_stage(
+    spark: SparkSession,
+    df: DataFrame,
+    workdir: str,
+    stage_id: str,
+    pre_fn: Callable[[DataFrame], DataFrame],
+    main_fn: Callable[[DataFrame, DataFrame], DataFrame],
+    post_fn: Callable[[DataFrame, DataFrame], DataFrame],
+    config: dict | None = None,
+    n_buckets: int = mf.DEFAULT_BUCKETS,
+) -> tuple[DataFrame, DataFrame]:
+    """Two-phase side-input stage — the reference's legend pre/post pattern
+    (/root/reference/tasks/segmentation/legend_analyzer.py:29-311: analyze
+    the legend BEFORE point extraction, broadcast the result into it, then
+    REFINE the legend from the extraction output):
+
+    1. pre:  a small dim computed from the input, manifest-committed;
+    2. main: the big stage consuming the dim as an explicit broadcast;
+    3. post: the dim refreshed from the main output, committed as a new
+       version (never mutated in place — later runs read the refreshed
+       side deterministically).
+
+    All three land through the manifest layer, so a killed run resumes at
+    whichever phase was uncommitted.  Returns (main output, refreshed dim).
+    """
+    cfg = dict(config or {})
+    pre_dir = os.path.join(workdir, f"{stage_id}_side_pre")
+    mf.write_stage(pre_fn(df), pre_dir, f"{stage_id}_side_pre", cfg, n_buckets=1)
+    side = mf.read_stage(spark, pre_dir, f"{stage_id}_side_pre", cfg, 1)
+
+    out_dir = os.path.join(workdir, stage_id)
+    mf.write_stage(
+        main_fn(df, F.broadcast(side)), out_dir, stage_id, cfg, n_buckets
+    )
+    out = mf.read_stage(spark, out_dir, stage_id, cfg, n_buckets)
+
+    post_dir = os.path.join(workdir, f"{stage_id}_side_post")
+    mf.write_stage(post_fn(out, side), post_dir, f"{stage_id}_side_post", cfg, 1)
+    refreshed = mf.read_stage(spark, post_dir, f"{stage_id}_side_post", cfg, 1)
+    return out, refreshed
+
+
 class Pipeline:
     def __init__(self, stages: list[Stage], workdir: str, n_buckets: int = 32):
         self.stages = stages

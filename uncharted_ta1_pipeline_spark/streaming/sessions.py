@@ -59,33 +59,34 @@ def stream_sessionize(
     )
 
 
+def running_update(key, pdfs, state: GroupState):
+    """GroupState update for stream_running_features (module-level so the
+    timeout branch is unit-testable with a fake GroupState)."""
+    import pandas as pd
+
+    if state.hasTimedOut:
+        # idle-conversation cleanup: drop the state, emit nothing, and
+        # do NOT re-arm the timer (re-arming would keep idle state alive
+        # forever and grow the store unboundedly).
+        state.remove()
+        return
+    turns, tools = state.get if state.exists else (0, 0)
+    for pdf in pdfs:
+        turns += len(pdf)
+        tools += int(((pdf["tool"].notna()) & (pdf["tool"] != "")).sum())
+    state.update((turns, tools))
+    state.setTimeoutDuration(24 * 3600 * 1000)
+    yield pd.DataFrame(
+        {"conv_id": [key[0]], "turns_so_far": [turns], "tools_so_far": [tools]}
+    )
+
+
 def stream_running_features(stream: DataFrame) -> DataFrame:
     """Custom stateful operator: running per-conversation counters kept in
     GroupState across micro-batches (the streaming twin of
     operators.windows.with_cumulative)."""
-    import pandas as pd
-
-    def update(key, pdfs, state: GroupState):
-        if state.hasTimedOut:
-            # idle-conversation cleanup: drop the state, emit nothing, and
-            # do NOT re-arm the timer (re-arming would keep idle state alive
-            # forever and grow the store unboundedly).
-            state.remove()
-            return
-        turns, tools = state.get if state.exists else (0, 0)
-        for pdf in pdfs:
-            turns += len(pdf)
-            tools += int(
-                ((pdf["tool"].notna()) & (pdf["tool"] != "")).sum()
-            )
-        state.update((turns, tools))
-        state.setTimeoutDuration(24 * 3600 * 1000)
-        yield pd.DataFrame(
-            {"conv_id": [key[0]], "turns_so_far": [turns], "tools_so_far": [tools]}
-        )
-
     return stream.groupBy("conv_id").applyInPandasWithState(
-        update,
+        running_update,
         outputStructType=RUNNING_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="update",
