@@ -155,9 +155,10 @@ def quadrant_coverage(df: DataFrame) -> DataFrame:
 
 def color_level(df: DataFrame) -> DataFrame:
     """Variance-bucketed level per conversation (≈ `_compute_color_level`:
-    classify a tile by a variance-style statistic of its pixels,
-    /root/reference/tasks/geo_referencing/coordinates_extractor.py — tile
-    color-level gating).
+    classify the map image into low/mid/high color level from a pixel
+    statistic, /root/reference/tasks/metadata_extraction/
+    metadata_extraction.py:961-1004; `_compute_shape` :935-959 is the same
+    aggregate-then-bucket shape).
 
     Population variance recovered from plain sums in double with the
     identical expression tree in the DuckDB oracle (one partial-aggregable

@@ -49,8 +49,8 @@ def denoise_segments(
 ) -> DataFrame:
     """Threshold + merge-overlapping-intervals (≈ DenoiseSegments: drop
     low-confidence segments, union the overlapping survivors,
-    /root/reference/tasks/segmentation/segmenter_utils.py:70-89 +
-    detectron_segmenter.py's confidence threshold).
+    /root/reference/tasks/segmentation/denoise_segments.py:18-80 with the
+    polygon-union helper segmenter_utils.py:70-89).
 
     Transcript analog: each tool turn spans ``[ts, ts + signal/100 *
     max_len_s]``; turns below ``min_signal`` are noise.  Overlapping
@@ -93,9 +93,9 @@ def denoise_segments(
 
 def text_with_segments(df: DataFrame, min_signal: float = 5.0) -> DataFrame:
     """Containment semi-join: which turns fall INSIDE a denoised segment
-    interval (≈ TextWithSegments: keep OCR text whose bbox is contained in
-    a segmentation polygon, /root/reference/tasks/text_extraction/
-    entities.py TEXT_EXTRACTION_OUTPUT_KEY join in segmenter flows).
+    interval (≈ TextWithSegments: attach OCR text whose bbox is contained
+    in a segmentation polygon,
+    /root/reference/tasks/segmentation/text_with_segments.py:22-80).
 
     Scale-safe containment: islands within a conversation are disjoint and
     sorted, so "which island contains ts" is an AS-OF lookup (latest island

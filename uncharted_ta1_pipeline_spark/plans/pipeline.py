@@ -68,7 +68,7 @@ def run_side_input_stage(
     n_buckets: int = mf.DEFAULT_BUCKETS,
 ) -> tuple[DataFrame, DataFrame]:
     """Two-phase side-input stage — the reference's legend pre/post pattern
-    (/root/reference/tasks/segmentation/legend_analyzer.py:29-311: analyze
+    (/root/reference/tasks/point_extraction/legend_analyzer.py:29-311: analyze
     the legend BEFORE point extraction, broadcast the result into it, then
     REFINE the legend from the extraction output):
 
