@@ -8,6 +8,7 @@ import json
 import os
 import shutil
 
+import pandas as pd
 import pyspark.sql.functions as F
 
 from tests.conftest import SF_SMOKE
@@ -67,6 +68,72 @@ def test_config_change_invalidates(spark, tmp_path):
     mf.write_stage(t, out, "feat", {"v": 1}, n_buckets=4)
     res = mf.write_stage(t, out, "feat", {"v": 2}, n_buckets=4)
     assert res.buckets_computed == 4  # full recompute on config change
+
+
+def test_retry_poison_pill(spark, tmp_path):
+    """Queue retry / poison-pill semantics (≈ quorum-queue x-delivery-limit 3,
+    /root/reference/tasks/common/request_client.py:253-262): a stage whose
+    failure is confined to one bucket retries that bucket ``max_attempts``
+    times, quarantines it with its error, and the run COMPLETES; a later run
+    retries only the poisoned bucket and clears the record on success."""
+    from pyspark.sql.functions import pandas_udf
+
+    from uncharted_ta1_pipeline_spark.plans import manifest as mf
+
+    t = _load(spark)
+    n_buckets = 8
+    # pick a victim conversation and find its manifest bucket
+    victim, victim_bucket = (
+        t.select("conv_id")
+        .distinct()
+        .withColumn("b", F.pmod(F.xxhash64(F.col("conv_id")), F.lit(n_buckets)).cast("int"))
+        .limit(1)
+        .collect()[0]
+    )
+    flag = str(tmp_path / "fail_flag")
+    open(flag, "w").write("x")
+
+    @pandas_udf("int")
+    def poison_udf(conv: pd.Series) -> pd.Series:
+        import os as _os
+
+        if _os.path.exists(flag) and (conv == victim).any():
+            raise RuntimeError(f"poisoned conversation {victim}")
+        return pd.Series([1] * len(conv))
+
+    def stage_df():
+        return t.withColumn("flagged", poison_udf(F.col("conv_id")))
+
+    out = str(tmp_path / "stage_poison")
+    res = mf.write_stage_resilient(
+        stage_df, out, "poisoned", {"v": 1}, n_buckets=n_buckets, max_attempts=3
+    )
+    # run completed: every healthy bucket committed, the victim quarantined
+    assert res.buckets_poisoned == 1
+    assert res.buckets_computed == n_buckets - 1
+    poison = mf.poisoned_buckets(out, res.config_hash)
+    assert list(poison) == [victim_bucket]
+    assert poison[victim_bucket]["attempts"] == 3
+    assert "poisoned conversation" in poison[victim_bucket]["error"]
+    # committed data excludes only the poisoned bucket
+    back = mf.read_stage(
+        spark, out, "poisoned", {"v": 1}, n_buckets=n_buckets, require_complete=False
+    )
+    expected_missing = t.filter(F.col("conv_id") == victim).count()
+    assert back.count() < t.count()  # victim bucket absent
+
+    # heal the stage; resume retries ONLY the poisoned bucket
+    os.remove(flag)
+    res2 = mf.write_stage_resilient(
+        stage_df, out, "poisoned", {"v": 1}, n_buckets=n_buckets, max_attempts=3
+    )
+    assert res2.buckets_skipped == n_buckets - 1
+    assert res2.buckets_computed == 1
+    assert res2.buckets_poisoned == 0
+    assert mf.poisoned_buckets(out, res2.config_hash) == {}
+    back2 = mf.read_stage(spark, out, "poisoned", {"v": 1}, n_buckets=n_buckets)
+    assert back2.count() == t.count()
+    assert expected_missing > 0
 
 
 def test_pipeline_end_to_end_with_halt_and_resume(spark, tmp_path):

@@ -74,6 +74,43 @@ def test_hybrid_narrow_routes_hot_convs(spark):
     _cmp(plain, hybrid)
 
 
+def test_single_pass_routing_equals_plain(spark):
+    """The single-pass routed path (hot flag inside one salted pass — the
+    default) is frame-equal to featurize() in every routing regime: mixed
+    hot/cold, all-cold (empty hot dim), all-hot."""
+    from uncharted_ta1_pipeline_spark.operators.salt import featurize_hybrid
+    from uncharted_ta1_pipeline_spark.operators.windows import featurize
+    from uncharted_ta1_pipeline_spark.sources.transcripts import synth_transcripts
+
+    t = synth_transcripts(
+        spark, n_convs=10, mean_turns=30, hot_convs=1, hot_turns=2000, seed=13
+    )
+    plain = featurize(t).toPandas()
+    for thr in (1000, 10**9, 1):  # mixed, all-cold, all-hot
+        routed = featurize_hybrid(
+            t, hot_threshold=thr, chunk_size=256, single_pass=True
+        ).toPandas()
+        _cmp(plain, routed)
+
+
+def test_single_pass_scans_input_once(spark):
+    """The routed plan reads the full-width input ONCE (plus the
+    column-pruned conv_id scan for the hot dim) — the branched path reads
+    it once per branch."""
+    from uncharted_ta1_pipeline_spark.operators.salt import featurize_hybrid
+    from uncharted_ta1_pipeline_spark.sources.transcripts import load_transcripts
+
+    t = load_transcripts(spark, SF_SMOKE)
+    plan = featurize_hybrid(t, single_pass=True)._jdf.queryExecution().executedPlan().toString()
+    # transcripts derive text from events.props (sources/transcripts.py), so a
+    # full-width scan is one whose parquet ReadSchema includes props; column
+    # pruning must confine props to exactly ONE scan (the offsets branch and
+    # the hot dim re-scan only narrow columns)
+    scans = [l for l in plan.splitlines() if "Scan parquet" in l]
+    n_wide = sum(1 for l in scans if "props" in l)
+    assert n_wide == 1, f"expected 1 full-width scan, saw {n_wide}:\n" + "\n".join(scans)
+
+
 def test_chunk_size_guard(spark):
     """chunk_size <= rolling_width would silently corrupt boundary frames;
     it must raise instead."""

@@ -1,0 +1,142 @@
+"""Vectorized pandas-UDF surfaces (SURVEY.md §2.9).
+
+Two of the four declared UDF surfaces of the engine live here — the two the
+grouped-map/mapInPandas operators don't exercise:
+
+- **scalar pandas_udf** (Series -> Series): the geodesic deg-per-km helper —
+  the transcript analog of the reference's geopy destination-point scale
+  math (/root/reference/tasks/geo_referencing/scale_analyzer.py:147-167 and
+  geo_fencing.py:236-252: km offsets converted to degree offsets at the
+  map's latitude).  Arrow-batched, no per-row Python.  This is also the
+  engine's shape for the query-point datum shift
+  (georeference.py:164-174: a deterministic scalar CRS transform applied
+  after the join — same vectorized-transform-on-joined-rows surface).
+
+- **grouped-agg pandas_udf**: exact per-group median / MAD over the
+  centi-quantized signal (≈ the MAD residual statistic of OutlierFilter,
+  outlier_filter.py:246-261, as a reusable aggregate).  numpy's
+  interpolated median over int64 input is bit-identical to DuckDB's
+  ``median``/``mad`` (verified: both average the two middle values in
+  exact binary fractions).
+
+Determinism discipline: the latitude→km table is CONSTANT-FOLDED in Python
+(rounded to 6 decimals) and shared verbatim with the DuckDB oracle as a SQL
+literal array, so both engines read the exact same doubles; the grouped
+aggregates take integer input, so no accumulation-order sensitivity exists.
+
+The UDF objects are constructed LAZILY (inside the operator functions):
+``pandas_udf`` resolves its return type against the active SparkSession, so
+module import must stay session-free (the oracle generator imports this
+module for the shared table constant before any session exists).
+
+Skew note: grouped-agg pandas UDFs pull one group per invocation — groups
+here are per-conversation and the engine's hot-conversation policy (cap or
+salt, salt.py) applies before any per-group UDF at the 10^12-turn scale,
+mirroring MAX_GCPS-style caps (ground_control.py:17).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.functions import pandas_udf
+
+EARTH_KM_PER_DEG = 111.32  # equatorial km per degree, the reference's scale
+
+# km per degree of LONGITUDE at integer latitude 0..89, rounded to 6 so the
+# literal embedded in the oracle SQL parses to the identical double
+KM_PER_DEG_LON = [
+    round(EARTH_KM_PER_DEG * math.cos(math.radians(d)), 6) for d in range(90)
+]
+
+
+def _scalar_udfs():
+    """Construct the scalar pandas UDF (needs an active session)."""
+
+    @pandas_udf("double")
+    def km_per_deg_lon_udf(lat_q: pd.Series) -> pd.Series:
+        import numpy as np
+
+        table = np.asarray(KM_PER_DEG_LON)
+        idx = np.clip(lat_q.to_numpy(dtype="int64"), 0, 89)
+        return pd.Series(table[idx])
+
+    return km_per_deg_lon_udf
+
+
+def _grouped_agg_udfs():
+    """Construct the grouped-agg pandas UDFs (count rides the same surface:
+    Spark disallows mixing grouped-agg pandas UDFs with built-in aggregates
+    in one agg())."""
+
+    @pandas_udf("long")
+    def count_udf(v: pd.Series) -> int:
+        return int(len(v))
+
+    @pandas_udf("double")
+    def median_udf(v: pd.Series) -> float:
+        import numpy as np
+
+        return float(np.median(v.to_numpy(dtype="int64")))
+
+    @pandas_udf("double")
+    def mad_udf(v: pd.Series) -> float:
+        import numpy as np
+
+        a = v.to_numpy(dtype="int64")
+        return float(np.median(np.abs(a - np.median(a))))
+
+    return count_udf, median_udf, mad_udf
+
+
+def geodesic_scale(df: DataFrame) -> DataFrame:
+    """Per-turn geodesic scale features via the scalar pandas UDF: treat the
+    turn's signal as a latitude, clamp to [0, 89], and emit the km-per-deg
+    of longitude there plus the degree span of a 10 km east offset — the
+    deg-per-km conversion of scale_analyzer.py:147-167.  ``hemi_sign`` adds
+    the hemisphere sign logic (≈ calc_lonlat_slope_signs / sign,
+    util.py:37-41,99-120): signum of the signal's offset from the fixture
+    midline, as the N/S-hemisphere classifier."""
+    km_per_deg_lon_udf = _scalar_udfs()
+    lat_q = F.least(
+        F.greatest(F.floor(F.col("signal")).cast("long"), F.lit(0)), F.lit(89)
+    )
+    hemi = F.signum(F.col("signal") - F.lit(50.0)).cast("int")
+    out = df.select(
+        "conv_id",
+        "turn_idx",
+        lat_q.alias("lat_q"),
+        hemi.alias("hemi_sign"),
+    ).withColumn("km_per_deg", km_per_deg_lon_udf(F.col("lat_q")))
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "lat_q",
+        "hemi_sign",
+        F.when(F.col("hemi_sign") >= 0, F.lit("N")).otherwise(F.lit("S")).alias(
+            "hemisphere"
+        ),
+        "km_per_deg",
+        F.round(F.lit(10.0) / F.col("km_per_deg"), 6).alias("deg_for_10km"),
+    )
+
+
+def grouped_median_mad(df: DataFrame) -> DataFrame:
+    """Per-conversation exact median/MAD of the centi-quantized signal via
+    grouped-agg pandas UDFs."""
+    count_udf, median_udf, mad_udf = _grouped_agg_udfs()
+    yc = F.floor(F.col("signal") * 100 + F.lit(0.5)).cast("long")
+    g = df.select("conv_id", yc.alias("_yc")).groupBy("conv_id").agg(
+        count_udf(F.col("_yc")).alias("n"),
+        median_udf(F.col("_yc")).alias("_med_c"),
+        mad_udf(F.col("_yc")).alias("_mad_c"),
+    )
+    return g.select(
+        "conv_id",
+        "n",
+        F.round(F.col("_med_c") / 100.0, 6).alias("median_signal"),
+        F.round(F.col("_mad_c") / 100.0, 6).alias("mad_signal"),
+    )

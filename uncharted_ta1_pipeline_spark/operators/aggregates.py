@@ -160,21 +160,27 @@ def color_level(df: DataFrame) -> DataFrame:
     metadata_extraction.py:961-1004; `_compute_shape` :935-959 is the same
     aggregate-then-bucket shape).
 
-    Population variance recovered from plain sums in double with the
-    identical expression tree in the DuckDB oracle (one partial-aggregable
-    pass, no window)."""
-    g = df.groupBy("conv_id").agg(
+    Signal is quantized to centi-units and accumulated as INTEGER sums
+    (the repo's standard discipline, same as regression_state): integer
+    accumulation is order-insensitive, so the variance — and crucially the
+    categorical level at the 400/800 boundaries — is identical at any
+    partitioning and in both engines.  Population variance is recovered in
+    double at the end with the identical expression tree in the DuckDB
+    oracle (one partial-aggregable pass, no window)."""
+    yc = F.floor(F.col("signal") * 100 + F.lit(0.5)).cast("long")
+    g = df.withColumn("_yc", yc).groupBy("conv_id").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("signal").alias("_s"),
-        F.sum(F.col("signal") * F.col("signal")).alias("_ss"),
+        F.sum("_yc").alias("_s"),
+        F.sum(F.col("_yc") * F.col("_yc")).alias("_ss"),
     )
     n = F.col("n").cast("double")
-    mean = F.col("_s") / n
-    var = F.col("_ss") / n - mean * mean
+    sd = F.col("_s").cast("double")
+    ssd = F.col("_ss").cast("double")
+    var = ssd / n / 10000.0 - (sd / n / 100.0) * (sd / n / 100.0)
     return g.select(
         "conv_id",
         "n",
-        F.round(var, 6).alias("variance"),
+        (F.round(var, 6) + F.lit(0.0)).alias("variance"),
         F.when(var < 400.0, F.lit("low"))
         .when(var < 800.0, F.lit("mid"))
         .otherwise(F.lit("high"))

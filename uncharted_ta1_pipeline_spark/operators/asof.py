@@ -273,14 +273,18 @@ def fit_predict_at_probes(
     intercept_c = (sy - slope_c * sx) / n
     can_fit = (F.col("n_obs") >= 2) & (denom > 0)
     pred_c = F.when(can_fit, intercept_c + slope_c * xp).otherwise(sy / n)
+    # "+ 0.0" sign-normalizes IEEE -0.0 → +0.0, mirroring the oracle's
+    # "round(...) + 0": any signed result that can round to zero must be
+    # sign-normalized in BOTH engines or the driver's value hash diverges.
+    zero = F.lit(0.0)
     return joined.select(
         "probe_id",
         key,
         F.unix_micros(F.col(probe_ts)).alias("probe_ts_us"),
         F.col("n_obs"),
-        F.round(F.when(can_fit, slope_c / 100), 6).alias("slope"),
-        F.round(F.when(can_fit, intercept_c / 100).otherwise(sy / n / 100), 6).alias(
-            "intercept"
-        ),
-        F.round(pred_c / 100, 6).alias("pred"),
+        (F.round(F.when(can_fit, slope_c / 100), 6) + zero).alias("slope"),
+        (
+            F.round(F.when(can_fit, intercept_c / 100).otherwise(sy / n / 100), 6) + zero
+        ).alias("intercept"),
+        (F.round(pred_c / 100, 6) + zero).alias("pred"),
     )

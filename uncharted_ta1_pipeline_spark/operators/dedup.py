@@ -238,6 +238,83 @@ def simhash16(docs: DataFrame) -> DataFrame:
     return g.select("doc_id", sim.cast("int").alias("simhash"))
 
 
+SIMHASH_BANDS = 4
+SIMHASH_BAND_BITS = 4
+SIMHASH_MAX_HAMMING = 3
+SIMHASH_MAX_BAND_DF = 200
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    max_hamming: int = SIMHASH_MAX_HAMMING,
+    max_band_df: int = SIMHASH_MAX_BAND_DF,
+) -> DataFrame:
+    """Near-duplicate pairs from SimHash signatures via bit-band bucketing —
+    the standard sublinear construction (same band-join + df-cap pattern as
+    ``minhash_lsh_pairs``).
+
+    The 16-bit signature splits into 4 bands of 4 bits; two signatures with
+    hamming distance <= 3 must agree EXACTLY on at least one band
+    (pigeonhole: d errors can ruin at most d of the 4 bands), so the
+    band-bucket join has full recall for ``max_hamming <= 3``.  Candidates
+    are deduped across bands, then the exact hamming distance
+    (bit_count(xor)) filters.  Skew guard: a (band, value) bucket holding
+    more than ``max_band_df`` documents is stop-listed before the self-join
+    — identically mirrored in the DuckDB oracle.  At production bit-widths
+    (64-bit sig, 4x16-bit bands) the same plan applies unchanged.
+    """
+    from pyspark.sql import Window
+
+    sig = simhash16(docs)
+    bands = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright(F.col("simhash"), b * SIMHASH_BAND_BITS)
+            .bitwiseAND(F.lit((1 << SIMHASH_BAND_BITS) - 1))
+            .alias("band_val"),
+        )
+        for b in range(SIMHASH_BANDS)
+    ]
+    banded = sig.select(
+        "doc_id", "simhash", F.explode(F.array(*bands)).alias("_b")
+    ).select(
+        "doc_id",
+        "simhash",
+        F.col("_b.band").alias("band"),
+        F.col("_b.band_val").alias("band_val"),
+    )
+    w_bucket = Window.partitionBy("band", "band_val")
+    kept = (
+        banded.withColumn("_bn", F.count(F.lit(1)).over(w_bucket))
+        .filter(F.col("_bn") <= max_band_df)
+        .drop("_bn")
+    )
+    left, right = kept.alias("l"), kept.alias("r")
+    cand = (
+        left.join(
+            right,
+            on=[
+                F.col("l.band") == F.col("r.band"),
+                F.col("l.band_val") == F.col("r.band_val"),
+                F.col("l.doc_id") < F.col("r.doc_id"),
+            ],
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            F.col("l.simhash").alias("_sa"),
+            F.col("r.simhash").alias("_sb"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb")))
+    return (
+        cand.withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
 def embedding_cosine_pairs(
     emb: DataFrame,
     threshold: float = 0.8,

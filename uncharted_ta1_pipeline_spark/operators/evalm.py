@@ -237,9 +237,29 @@ def eval_f1_deciles(df: DataFrame, radius_s: int = RADIUS_S) -> DataFrame:
     (points_extraction_calc_metrics.py:120-144: bucketed score summary).
 
     Micro-F1 per conversation = 2·tp / (n_pred + n_truth); conversations
-    with neither predictions nor truths are excluded.  Deciles are ntile(10)
-    over (f1, conv_id) — a total order, so bucketing is identical in both
-    engines at any parallelism."""
+    with neither predictions nor truths are excluded.
+
+    Distributed exact ntile: instead of a global ``ntile(10)`` window (one
+    task holding every conversation — a scale-killer at 10^7-10^8 convs),
+    the decile AGGREGATES are recovered from the exact histogram of scores.
+    Key observation: ntile over (f1, conv_id) assigns equal-f1 rows to
+    contiguous ranks, and the output (count / avg / min / max of f1 per
+    decile) does not depend on WHICH conv of an equal-f1 atom lands in which
+    decile — only on how many.  So:
+
+      1. quantize f1 to exact micro-units (f1 is round(x,6) in [0,1], so
+         f1c = floor(f1·1e6 + 0.5) is lossless) and build the per-value
+         histogram with one distributed groupBy — atoms collapse to one row;
+      2. cumulative counts over the histogram give each value's rank range
+         [lo+1, hi].  This window is global but PROVABLY BOUNDED: ≤ 1e6+1
+         distinct micro-unit values regardless of input size;
+      3. intersect each value's rank range with each decile's rank range
+         (standard SQL ntile semantics: first N mod 10 buckets get the
+         extra row) and aggregate overlap counts + integer f1c sums.
+
+    Integer sums make avg_f1 exact (no accumulation-order sensitivity);
+    the DuckDB oracle keeps a literal ntile(10) — an independent semantics
+    check — with the same integer finish."""
     pred, truth = predictions(df), truths(df)
     tp = match_pairs(pred, truth, radius_s).groupBy("conv_id").agg(
         F.count(F.lit(1)).alias("tp")
@@ -259,14 +279,32 @@ def eval_f1_deciles(df: DataFrame, radius_s: int = RADIUS_S) -> DataFrame:
             ).alias("f1"),
         )
     )
-    w = Window.orderBy("f1", "conv_id")
-    return (
-        per_conv.withColumn("decile", F.ntile(10).over(w))
-        .groupBy("decile")
-        .agg(
-            F.count(F.lit(1)).alias("n_convs"),
-            F.round(F.avg("f1"), 6).alias("avg_f1"),
-            F.round(F.min("f1"), 6).alias("min_f1"),
-            F.round(F.max("f1"), 6).alias("max_f1"),
-        )
+    f1c = F.floor(F.col("f1") * 1_000_000 + F.lit(0.5)).cast("long")
+    hist = per_conv.select(f1c.alias("f1c")).groupBy("f1c").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w_cum = Window.orderBy("f1c").rowsBetween(Window.unboundedPreceding, 0)
+    hist = hist.withColumn("hi", F.sum("cnt").over(w_cum)).withColumn(
+        "lo", F.col("hi") - F.col("cnt")
+    )
+    total = hist.groupBy().agg(F.sum("cnt").alias("n_total"))
+    h = hist.crossJoin(F.broadcast(total)).withColumn(
+        "decile", F.explode(F.sequence(F.lit(1), F.lit(10)))
+    )
+    base = F.floor(F.col("n_total") / 10)
+    rem = F.col("n_total") % 10
+    d = F.col("decile").cast("long")
+    start = (d - 1) * base + F.least(d - 1, rem) + 1
+    end = d * base + F.least(d, rem)
+    ov = F.least(F.col("hi"), end) - F.greatest(F.col("lo") + 1, start) + 1
+    h = h.withColumn("_ov", ov).filter(F.col("_ov") > 0)
+    return h.groupBy("decile").agg(
+        F.sum("_ov").alias("n_convs"),
+        F.round(
+            F.sum(F.col("f1c") * F.col("_ov")).cast("double")
+            / (F.sum("_ov") * 1_000_000.0),
+            6,
+        ).alias("avg_f1"),
+        (F.min("f1c").cast("double") / 1_000_000.0).alias("min_f1"),
+        (F.max("f1c").cast("double") / 1_000_000.0).alias("max_f1"),
     )

@@ -117,6 +117,79 @@ def corner_join_passthrough(
     return pairs.withColumn("matched", F.lit(True)).unionByName(passthrough)
 
 
+def point_geocoder(df: DataFrame, margin: float = 0.1, k: int = 4) -> DataFrame:
+    """The composed PointGeocoder pipeline as ONE query (≈
+    /root/reference/tasks/geo_referencing/point_geocoder.py:112-211 +
+    268-292), assembling the separately-proven pieces end-to-end:
+
+    1. **geofence prune** (:112-135): candidate tool turns must fall inside
+       the conversation's trimmed time range
+       ``[first + margin*span, last - margin*span]`` — bounds aggregated
+       once per conversation and equi-joined back (co-partitioned join,
+       never a cross join);
+    2. **duplicate ranking by distance to the weighted centroid**
+       (:136-211): the centroid weighs each tool's candidates 1/#candidates
+       (two-phase: integer per-(conv, tool) sums, then a mean over the
+       bounded tool vocabulary); within (conv, tool) the candidate NEAREST
+       the centroid survives (row_number over rounded distance, turn_idx
+       tiebreak);
+    3. **top-k keeping ties** (:268-292): the survivors rank per
+       conversation by quantized signal descending with ``rank()`` —
+       ties at the k-th value are kept.
+    """
+    us = F.unix_micros(F.col("ts"))
+    yc = F.floor(F.col("signal") * 100 + F.lit(0.5)).cast("long")
+
+    bounds = df.groupBy("conv_id").agg(
+        F.min(us).alias("_lo0"), F.max(us).alias("_hi0")
+    )
+    span = F.col("_hi0") - F.col("_lo0")
+    lo = F.col("_lo0") + F.floor(F.lit(margin) * span).cast("long")
+    hi = F.col("_hi0") - F.floor(F.lit(margin) * span).cast("long")
+
+    cand = df.filter(
+        (F.col("role") == "tool") & F.col("tool").isNotNull() & (F.col("tool") != "")
+    ).select("conv_id", "turn_idx", "tool", us.alias("_us"), yc.alias("_yc"))
+    fenced = (
+        cand.join(bounds, on="conv_id")
+        .filter(F.col("_us").between(lo, hi))
+        .drop("_lo0", "_hi0")
+    )
+
+    per_tool = fenced.groupBy("conv_id", "tool").agg(
+        F.count(F.lit(1)).alias("_n_t"), F.sum("_yc").alias("_sy_t")
+    )
+    centroid = per_tool.groupBy("conv_id").agg(
+        (
+            F.sum(F.col("_sy_t").cast("double") / F.col("_n_t")) / F.count(F.lit(1))
+        ).alias("_centroid_c")
+    )
+
+    scored = fenced.join(centroid, on="conv_id").withColumn(
+        "dist",
+        F.round(F.abs(F.col("_yc") - F.col("_centroid_c")) / 100.0, 6),
+    )
+    w_dup = Window.partitionBy("conv_id", "tool").orderBy(
+        F.col("dist").asc(), F.col("turn_idx").asc()
+    )
+    deduped = scored.withColumn("_rn", F.row_number().over(w_dup)).filter(
+        F.col("_rn") == 1
+    )
+    w_top = Window.partitionBy("conv_id").orderBy(F.col("_yc").desc())
+    return (
+        deduped.withColumn("rk", F.rank().over(w_top))
+        .filter(F.col("rk") <= k)
+        .select(
+            "conv_id",
+            "tool",
+            "turn_idx",
+            F.round(F.col("_yc") / 100.0, 6).alias("signal"),
+            "dist",
+            "rk",
+        )
+    )
+
+
 def nearest_join(df: DataFrame) -> DataFrame:
     """For each 'tool' turn, the nearest 'user' turn in time within the
     conversation (≈ nearest-OCR-text dip lookup,

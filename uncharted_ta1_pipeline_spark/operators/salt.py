@@ -44,6 +44,7 @@ def featurize_hybrid(
     rolling_width: int = 5,
     gap_s: int = 1800,
     narrow: bool = False,
+    single_pass: bool = True,
 ) -> DataFrame:
     """Route conversations by size: the few above ``hot_threshold`` turns
     take the chunked/salted path; everything else takes the plain
@@ -51,6 +52,12 @@ def featurize_hybrid(
     only oversized inputs (text_extractor.py:350-355: tile only when the
     image exceeds the pixel limit).  Same output as ``featurize`` for any
     routing.
+
+    ``single_pass`` (default): routing happens INSIDE one pass — rows carry
+    a broadcast hot flag and the salted machinery gives cold conversations
+    a constant chunk (no carries, no offsets), so the physical plan scans
+    the full-width input ONCE instead of once per branch.  ``False`` keeps
+    the two-branch union (2 full scans + an eager isEmpty()) for A/B.
 
     ``narrow``: drop the ``text`` column — by far the widest, never an
     input to any window function — BEFORE the window stages and join it
@@ -72,6 +79,7 @@ def featurize_hybrid(
             rolling_width=rolling_width,
             gap_s=gap_s,
             narrow=False,
+            single_pass=single_pass,
         )
         return feats.join(
             df.select("conv_id", "turn_idx", "text"), on=["conv_id", "turn_idx"]
@@ -89,8 +97,25 @@ def featurize_hybrid(
         .filter(F.col("_n_conv") > hot_threshold)
         .select("conv_id", F.lit(True).alias("_hot"))
     )
-    # planning decision, evaluated eagerly like AQE's runtime stats: a tiny
-    # aggregate-only action, not a data collect
+    if single_pass:
+        # ONE full-width pass: cold conversations flow through the salted
+        # machinery with a constant chunk (≡ the plain per-conv window —
+        # same task shape, no carries), hot conversations get real chunks.
+        # Physical plan: 1 column-pruned scan (conv_id only) for the hot
+        # dim + 1 full scan — versus 3 full-input scans (hot agg + cold
+        # branch + hot branch) and an eager isEmpty() action in the
+        # branched path.  At 100 TB the saved pass dominates.
+        flagged = df.join(F.broadcast(hot), on="conv_id", how="left")
+        return featurize_salted(
+            flagged,
+            chunk_size=chunk_size,
+            rolling_width=rolling_width,
+            gap_s=gap_s,
+            hot_col="_hot",
+        )
+    # branched strategy (kept for A/B): planning decision, evaluated eagerly
+    # like AQE's runtime stats: a tiny aggregate-only action, not a data
+    # collect
     if hot.isEmpty():
         return featurize(df, rolling_width=rolling_width)
     flagged = df.join(F.broadcast(hot), on="conv_id", how="left")
@@ -112,11 +137,17 @@ def featurize_salted(
     chunk_size: int = DEFAULT_CHUNK,
     rolling_width: int = 5,
     gap_s: int = 1800,
+    hot_col: str | None = None,
 ) -> DataFrame:
     """Salted equivalent of ``operators.windows.featurize``.
 
     Requires ``turn_idx`` to be the dense 0-based stable order within each
     conversation (the ingest invariant), aligned with (ts, turn_idx) order.
+
+    ``hot_col``: optional boolean routing column (NULL ⇒ cold).  Cold
+    conversations take chunk 0 with NO boundary carries and NO offset rows
+    — for them the bounded window degenerates to the plain per-conversation
+    window, so hot and cold are featurized in the SAME single pass.
     """
     if chunk_size <= rolling_width:
         # boundary carries span exactly ONE chunk back; a chunk smaller than
@@ -128,10 +159,16 @@ def featurize_salted(
     k = rolling_width
     cs = chunk_size
     non_empty = F.col("tool").isNotNull() & (F.col("tool") != "")
+    hot = (
+        F.coalesce(F.col(hot_col), F.lit(False)) if hot_col is not None else F.lit(True)
+    )
 
     base = (
         df.withColumn("_us", F.unix_micros(F.col("ts")))
-        .withColumn("_chunk", F.floor(F.col("turn_idx") / F.lit(cs)))
+        .withColumn(
+            "_chunk",
+            F.when(hot, F.floor(F.col("turn_idx") / F.lit(cs))).otherwise(F.lit(0)),
+        )
         .withColumn("_used", non_empty.cast("long"))
         .withColumn(
             # global first occurrence of each tool: partitioned by
@@ -158,13 +195,13 @@ def featurize_salted(
     targets = F.concat(
         F.array(F.struct(F.col("_chunk").alias("tgt"), F.lit(0).alias("kind"))),
         F.when(
-            F.col("turn_idx") >= (F.col("_chunk") + 1) * cs - k,
+            hot & (F.col("turn_idx") >= (F.col("_chunk") + 1) * cs - k),
             F.array(
                 F.struct((F.col("_chunk") + 1).alias("tgt"), F.lit(1).alias("kind"))
             ),
         ).otherwise(F.expr(f"CAST(array() AS {tgt_t})")),
         F.when(
-            (F.col("turn_idx") % cs == 0) & (F.col("_chunk") > 0),
+            hot & (F.col("turn_idx") % cs == 0) & (F.col("_chunk") > 0),
             F.array(
                 F.struct((F.col("_chunk") - 1).alias("tgt"), F.lit(2).alias("kind"))
             ),
@@ -236,8 +273,13 @@ def featurize_salted(
     )
 
     # ---- chunk summaries (ONE tiny row per (conv, chunk)) -------------------
+    # only HOT conversations need cross-chunk offsets: cold chunks are whole
+    # conversations (their within-chunk prefixes are already global), so the
+    # offsets dim stays tiny and broadcastable even with 10^8 cold convs.
     reals = a.filter(real)
-    sums = reals.groupBy("conv_id", "_tgt").agg(
+    sums = (reals.filter(hot) if hot_col is not None else reals).groupBy(
+        "conv_id", "_tgt"
+    ).agg(
         F.count(F.lit(1)).alias("_n"),
         F.sum("_used").alias("_tools"),
         F.sum("_first_use").alias("_firsts"),
@@ -256,17 +298,25 @@ def featurize_salted(
         F.last(F.col("_lt.tool"), ignorenulls=True).over(prior).alias("_carry_ffill"),
     )
 
+    z = F.lit(0)
     out = (
         reals.join(F.broadcast(offsets), on=["conv_id", "_tgt"], how="left")
-        .withColumn("turns_so_far", F.col("_p_turns") + F.col("_off_turns"))
-        .withColumn("tools_so_far", F.col("_p_tools") + F.col("_off_tools"))
         .withColumn(
-            "distinct_tools_so_far", F.col("_p_firsts") + F.col("_off_firsts")
+            "turns_so_far", F.col("_p_turns") + F.coalesce(F.col("_off_turns"), z)
+        )
+        .withColumn(
+            "tools_so_far", F.col("_p_tools") + F.coalesce(F.col("_off_tools"), z)
+        )
+        .withColumn(
+            "distinct_tools_so_far",
+            F.col("_p_firsts") + F.coalesce(F.col("_off_firsts"), z),
         )
         .withColumn("ffill_tool", F.coalesce(F.col("_p_ffill"), F.col("_carry_ffill")))
         .withColumn(
             "session_id",
-            (F.col("_p_sess") + F.col("_off_sess") - F.lit(1)).cast("long"),
+            (F.col("_p_sess") + F.coalesce(F.col("_off_sess"), z) - F.lit(1)).cast(
+                "long"
+            ),
         )
     )
     drop = [
@@ -274,4 +324,6 @@ def featurize_salted(
         "_p_turns", "_p_tools", "_p_firsts", "_p_ffill", "_p_sess", "_is_new",
         "_off_turns", "_off_tools", "_off_firsts", "_off_sess", "_carry_ffill",
     ]
+    if hot_col is not None:
+        drop.append(hot_col)
     return out.drop(*drop)

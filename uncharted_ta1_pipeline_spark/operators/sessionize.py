@@ -52,8 +52,14 @@ def denoise_segments(
     /root/reference/tasks/segmentation/denoise_segments.py:18-80 with the
     polygon-union helper segmenter_utils.py:70-89).
 
-    Transcript analog: each tool turn spans ``[ts, ts + signal/100 *
-    max_len_s]``; turns below ``min_signal`` are noise.  Overlapping
+    Transcript analog: each tool turn spans ``[ts, ts + floor(signal*100) *
+    max_len_s * 10 µs]`` — i.e. the centi-quantized signal times
+    ``max_len_s/100`` seconds (signal=10, max_len_s=1000 → a 10 s span; the
+    quantization keeps the interval arithmetic integer-exact in both
+    engines); turns below ``min_signal`` are noise.  NOTE: the default
+    ``min_signal``/``max_len_s`` are frozen into the DuckDB oracle SQL —
+    non-default calls are exercised by pytest only, not the parity gate.
+    Overlapping
     surviving intervals merge via the classic gap-and-island pass: a new
     island starts where the interval's start exceeds the running max of all
     previous ends (one window, integer microseconds, exact in both

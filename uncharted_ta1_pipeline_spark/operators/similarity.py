@@ -16,9 +16,12 @@ import hashlib
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
-# multi-table LSH defaults, shared with the DuckDB oracle generator
+# multi-table LSH defaults, shared with the DuckDB oracle generator.
+# 8 planes -> 256 buckets/table: at 100 TB the bucket count should track
+# corpus size (planes ~ log2(N / target_bucket_size)); 4 tables of
+# OR-construction recover the recall the sharper buckets give up.
 ANN_TABLES = 4
-ANN_PLANES = 4
+ANN_PLANES = 8
 ANN_MAX_BUCKET = 256
 EMB_DIM = 64  # embeddings.parquet dimension (constant across SFs)
 
@@ -95,6 +98,49 @@ def _bucket_expr(v: F.Column, table: int, n_planes: int) -> F.Column:
     return bucket
 
 
+def _bucketize(
+    v: DataFrame, n_planes: int, n_tables: int, id_col: str = "vec_id"
+) -> DataFrame:
+    """(id, table, bucket) rows across all hash tables; ``v`` must carry the
+    vector as ``_v``."""
+    tables = [
+        v.select(
+            id_col,
+            F.lit(t).alias("_tbl"),
+            _bucket_expr(F.col("_v"), t, n_planes).alias("_bkt"),
+        )
+        for t in range(n_tables)
+    ]
+    allb = tables[0]
+    for extra in tables[1:]:
+        allb = allb.unionByName(extra)
+    return allb
+
+
+def ann_bucket_stats(
+    emb: DataFrame,
+    n_planes: int = ANN_PLANES,
+    n_tables: int = ANN_TABLES,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-table bucket-occupancy summary for tuning ``n_planes``: buckets
+    used (of 2^n_planes), and min/avg/max vectors per occupied bucket.  A
+    max far above avg means a degenerate bucket (the per-bucket cap's
+    target); buckets_used << 2^n_planes means the planes are too many for
+    the corpus."""
+    v = emb.select(F.col(id_col), F.col("embedding").cast("array<double>").alias("_v"))
+    occ = _bucketize(v, n_planes, n_tables, id_col).groupBy("_tbl", "_bkt").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    return occ.groupBy("_tbl").agg(
+        F.count(F.lit(1)).alias("buckets_used"),
+        F.lit(2**n_planes).alias("buckets_total"),
+        F.min("_n").alias("min_occupancy"),
+        F.round(F.avg("_n"), 2).alias("avg_occupancy"),
+        F.max("_n").alias("max_occupancy"),
+    ).withColumnRenamed("_tbl", "table")
+
+
 def ann_lsh(
     emb: DataFrame,
     n_queries: int = 5,
@@ -119,18 +165,7 @@ def ann_lsh(
       scored, so each (query, neighbor) pair pays one cosine regardless of
       how many tables propose it."""
     v = emb.select(F.col(id_col), F.col("embedding").cast("array<double>").alias("_v"))
-    tables = []
-    for t in range(n_tables):
-        tables.append(
-            v.select(
-                id_col,
-                F.lit(t).alias("_tbl"),
-                _bucket_expr(F.col("_v"), t, n_planes).alias("_bkt"),
-            )
-        )
-    allb = tables[0]
-    for extra in tables[1:]:
-        allb = allb.unionByName(extra)
+    allb = _bucketize(v, n_planes, n_tables, id_col)
     w_cap = Window.partitionBy("_tbl", "_bkt").orderBy(id_col)
     capped = (
         allb.withColumn("_rn", F.row_number().over(w_cap))

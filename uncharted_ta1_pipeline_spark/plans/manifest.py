@@ -56,7 +56,9 @@ def committed_buckets(out_dir: str, cfg_hash: str) -> dict[int, dict]:
     if not os.path.isdir(mdir):
         return out
     for name in os.listdir(mdir):
-        if not name.endswith(".json"):
+        # ONLY commit records: poison-*.json quarantine rows share the
+        # directory and the config_hash but must never count as committed
+        if not (name.startswith("bucket-") and name.endswith(".json")):
             continue
         with open(os.path.join(mdir, name)) as f:
             row = json.load(f)
@@ -103,6 +105,7 @@ class StageResult:
     buckets_computed: int
     rows_out: int
     wall_ms: int
+    buckets_poisoned: int = 0
 
 
 def write_stage(
@@ -111,9 +114,12 @@ def write_stage(
     stage_id: str,
     config: dict | None = None,
     n_buckets: int = DEFAULT_BUCKETS,
+    restrict_to: list[int] | None = None,
 ) -> StageResult:
     """Write a stage output through the manifest layer, skipping buckets
-    already committed under the same config hash (resume)."""
+    already committed under the same config hash (resume).  ``restrict_to``
+    limits the write to a subset of pending buckets (the per-bucket
+    fault-isolation path of ``write_stage_resilient``)."""
     t0 = time.time()
     cfg = dict(config or {})
     cfg["_stage_id"] = stage_id
@@ -121,7 +127,11 @@ def write_stage(
     h = config_hash(cfg)
 
     done = committed_buckets(out_dir, h)
-    pending = [b for b in range(n_buckets) if b not in done]
+    pending = [
+        b
+        for b in range(n_buckets)
+        if b not in done and (restrict_to is None or b in restrict_to)
+    ]
     spark = df.sparkSession
     rows_out = 0
     if pending:
@@ -175,6 +185,115 @@ def write_stage(
         buckets_computed=len(pending),
         rows_out=rows_out,
         wall_ms=int((time.time() - t0) * 1000),
+    )
+
+
+def poisoned_buckets(out_dir: str, cfg_hash: str) -> dict[int, dict]:
+    """Read poison records matching the config hash."""
+    mdir = _manifest_dir(out_dir)
+    out: dict[int, dict] = {}
+    if not os.path.isdir(mdir):
+        return out
+    for name in os.listdir(mdir):
+        if not (name.startswith("poison-") and name.endswith(".json")):
+            continue
+        with open(os.path.join(mdir, name)) as f:
+            row = json.load(f)
+        if row.get("config_hash") == cfg_hash:
+            out[int(row["bucket"])] = row
+    return out
+
+
+def _clear_poison(out_dir: str, bucket: int) -> None:
+    p = os.path.join(_manifest_dir(out_dir), f"poison-{bucket}.json")
+    if os.path.exists(p):
+        os.remove(p)
+
+
+def write_stage_resilient(
+    df_fn,
+    out_dir: str,
+    stage_id: str,
+    config: dict | None = None,
+    n_buckets: int = DEFAULT_BUCKETS,
+    max_attempts: int = 3,
+) -> StageResult:
+    """``write_stage`` with the reference's queue retry/poison-pill
+    semantics (/root/reference/tasks/common/request_client.py:253-262:
+    quorum queue, ``x-delivery-limit`` 3 — a message failing three
+    deliveries is dropped and the worker moves on).
+
+    Fast path: one job over all pending buckets (zero overhead when the
+    stage is healthy).  On failure it falls back to PER-BUCKET isolation —
+    the analog of the reference's one-document-in-flight redelivery
+    (prefetch_count=1): each pending bucket is attempted up to
+    ``max_attempts`` times; a bucket that keeps failing is QUARANTINED with
+    its error as ``_manifest/poison-<b>.json`` and the run continues.  A
+    later run sees poisoned buckets as pending again (fresh delivery
+    budget, ≈ queue redelivery after reconnect) and clears the poison
+    record on success.
+
+    ``df_fn``: the stage DataFrame or a zero-arg callable producing it
+    (re-invoked per attempt so transient failures can heal)."""
+    t0 = time.time()
+    cfg = dict(config or {})
+    cfg["_stage_id"] = stage_id
+    cfg["_n_buckets"] = n_buckets
+    h = config_hash(cfg)
+    make = df_fn if callable(df_fn) else (lambda: df_fn)
+
+    try:
+        res = write_stage(make(), out_dir, stage_id, config, n_buckets)
+        for b in range(n_buckets):
+            _clear_poison(out_dir, b)
+        return res
+    except Exception:
+        pass  # fall into per-bucket isolation
+
+    done = committed_buckets(out_dir, h)
+    pending = [b for b in range(n_buckets) if b not in done]
+    computed, rows_out, poisoned = 0, 0, 0
+    mdir = _manifest_dir(out_dir)
+    for b in pending:
+        last_err: str | None = None
+        for _ in range(max_attempts):
+            try:
+                res = write_stage(
+                    make(), out_dir, stage_id, config, n_buckets, restrict_to=[b]
+                )
+                rows_out += res.rows_out
+                computed += 1
+                _clear_poison(out_dir, b)
+                last_err = None
+                break
+            except Exception as ex:  # noqa: BLE001 — any stage error counts
+                last_err = f"{type(ex).__name__}: {ex}"
+        if last_err is not None:
+            poisoned += 1
+            os.makedirs(mdir, exist_ok=True)
+            row = {
+                "stage_id": stage_id,
+                "config_hash": h,
+                "bucket": b,
+                "attempts": max_attempts,
+                "error": last_err[:2000],
+                "poisoned_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            }
+            tmp = os.path.join(mdir, f".poison-{b}.json.tmp")
+            dst = os.path.join(mdir, f"poison-{b}.json")
+            with open(tmp, "w") as f:
+                json.dump(row, f)
+            os.replace(tmp, dst)
+    return StageResult(
+        stage_id=stage_id,
+        config_hash=h,
+        out_dir=out_dir,
+        buckets_total=n_buckets,
+        buckets_skipped=len(done),
+        buckets_computed=computed,
+        rows_out=rows_out,
+        wall_ms=int((time.time() - t0) * 1000),
+        buckets_poisoned=poisoned,
     )
 
 

@@ -222,10 +222,13 @@ final AS (
          syd / n AS mean_c, xp
   FROM fit
 )
+-- "+ 0" sign-normalizes IEEE -0.0 to +0.0 (DuckDB round keeps the sign of a
+-- tiny negative value; Spark's does not — the driver's value hash would see
+-- 10 differing rows at sf0.01 otherwise).  NULL + 0 stays NULL.
 SELECT probe_id, conv_id, probe_ts_us, n_obs,
-       round(CASE WHEN can_fit THEN slope_c / 100 END, 6) AS slope,
-       round(CASE WHEN can_fit THEN intercept_c / 100 ELSE mean_c / 100 END, 6) AS intercept,
+       round(CASE WHEN can_fit THEN slope_c / 100 END, 6) + 0 AS slope,
+       round(CASE WHEN can_fit THEN intercept_c / 100 ELSE mean_c / 100 END, 6) + 0 AS intercept,
        round(CASE WHEN can_fit THEN (intercept_c + slope_c * xp) / 100
-                  ELSE mean_c / 100 END, 6) AS pred
+                  ELSE mean_c / 100 END, 6) + 0 AS pred
 FROM final
 """

@@ -135,6 +135,61 @@ SELECT doc_id, CAST({_sim_sum} AS INTEGER) AS simhash
 FROM votes
 """
 
+# bit-band LSH over the simhash signature: 4 bands x 4 bits, df-capped
+# buckets, exact hamming (bit_count of xor) filter — the same construction
+# as operators/dedup.py:simhash_pairs, including the cap.
+from uncharted_ta1_pipeline_spark.operators.dedup import (  # noqa: E402
+    SIMHASH_BAND_BITS,
+    SIMHASH_BANDS,
+    SIMHASH_MAX_BAND_DF,
+    SIMHASH_MAX_HAMMING,
+)
+
+_simhash_core = f"""
+toks AS (
+  SELECT doc_id, substr(md5(u.t), 1, 4) AS h4
+  FROM documents, unnest(string_split(text, ' ')) AS u(t)
+),
+votes AS (
+  SELECT doc_id,
+         {_votes_sql}
+  FROM toks GROUP BY doc_id
+),
+sim AS (
+  SELECT doc_id, CAST({_sim_sum} AS INTEGER) AS simhash
+  FROM votes
+)
+""".strip()
+
+_band_rows = "\n  UNION ALL\n".join(
+    f"  SELECT doc_id, simhash, {b} AS band, "
+    f"(simhash >> {b * SIMHASH_BAND_BITS}) & {(1 << SIMHASH_BAND_BITS) - 1} AS band_val"
+    " FROM sim"
+    for b in range(SIMHASH_BANDS)
+)
+ORACLES_DOCS["simhash_pairs"] = f"""
+WITH {_simhash_core},
+banded AS (
+{_band_rows}
+),
+small AS (
+  SELECT band, band_val FROM banded
+  GROUP BY band, band_val HAVING count(*) <= {SIMHASH_MAX_BAND_DF}
+),
+kept AS (
+  SELECT b.* FROM banded b JOIN small s
+    ON b.band = s.band AND b.band_val = s.band_val
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+         l.simhash AS sa, r.simhash AS sb
+  FROM kept l JOIN kept r
+    ON l.band = r.band AND l.band_val = r.band_val AND l.doc_id < r.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= {SIMHASH_MAX_HAMMING}
+"""
+
 ORACLES_DOCS["embedding_cosine_pairs"] = """
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine

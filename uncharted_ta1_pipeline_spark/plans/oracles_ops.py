@@ -708,17 +708,27 @@ LEFT JOIN tt t ON b.conv_id = t.conv_id
 
 ORACLES_OPS["color_level"] = f"""
 {_T},
+q AS (
+  SELECT conv_id, CAST(floor(signal * 100 + 0.5) AS BIGINT) AS yc
+  FROM transcripts
+),
 g AS (
   SELECT conv_id, count(*) AS n,
-         sum(signal) AS s, sum(signal * signal) AS ss
-  FROM transcripts GROUP BY conv_id
+         CAST(sum(yc) AS BIGINT) AS s, CAST(sum(yc * yc) AS BIGINT) AS ss
+  FROM q GROUP BY conv_id
+),
+v AS (
+  SELECT conv_id, n,
+         CAST(ss AS DOUBLE) / n / 10000.0
+           - (CAST(s AS DOUBLE) / n / 100.0) * (CAST(s AS DOUBLE) / n / 100.0) AS var
+  FROM g
 )
 SELECT conv_id, n,
-       round(ss / n - (s / n) * (s / n), 6) AS variance,
-       CASE WHEN ss / n - (s / n) * (s / n) < 400.0 THEN 'low'
-            WHEN ss / n - (s / n) * (s / n) < 800.0 THEN 'mid'
+       round(var, 6) + 0 AS variance,
+       CASE WHEN var < 400.0 THEN 'low'
+            WHEN var < 800.0 THEN 'mid'
             ELSE 'high' END AS level
-FROM g
+FROM v
 """
 
 ORACLES_OPS["monotone_best_run"] = f"""
@@ -939,13 +949,18 @@ per_conv AS (
   FROM npc FULL JOIN ntc ON npc.conv_id = ntc.conv_id
   LEFT JOIN tpcv t ON coalesce(npc.conv_id, ntc.conv_id) = t.conv_id
 ),
+-- literal ntile(10): an independent check of the engine's distributed
+-- histogram-decomposition ntile (operators/evalm.py).  Integer micro-unit
+-- finish on both sides makes avg/min/max exact (accumulation-order-free).
 tiled AS (
-  SELECT f1, ntile(10) OVER (ORDER BY f1, conv_id) AS decile FROM per_conv
+  SELECT CAST(floor(f1 * 1000000 + 0.5) AS BIGINT) AS f1c,
+         ntile(10) OVER (ORDER BY f1, conv_id) AS decile
+  FROM per_conv
 )
 SELECT decile, count(*) AS n_convs,
-       round(avg(f1), 6) AS avg_f1,
-       round(min(f1), 6) AS min_f1,
-       round(max(f1), 6) AS max_f1
+       round(CAST(sum(f1c) AS DOUBLE) / (count(*) * 1000000.0), 6) AS avg_f1,
+       CAST(min(f1c) AS DOUBLE) / 1000000.0 AS min_f1,
+       CAST(max(f1c) AS DOUBLE) / 1000000.0 AS max_f1
 FROM tiled GROUP BY decile
 """
 
@@ -1007,3 +1022,83 @@ def _link_bucketed():
 
 
 _link_bucketed()
+
+
+# --- pandas-UDF surface twins (functions/geof.py) ---------------------------
+# the latitude -> km/deg table is the SAME Python-constant-folded literal the
+# scalar pandas UDF reads, embedded here as a SQL array so both engines use
+# bit-identical doubles.
+from uncharted_ta1_pipeline_spark.functions.geof import KM_PER_DEG_LON  # noqa: E402
+
+_KM_TABLE = "[" + ", ".join(repr(v) for v in KM_PER_DEG_LON) + "]"
+
+ORACLES_OPS["geodesic_scale"] = f"""
+{_T},
+q AS (
+  SELECT conv_id, turn_idx,
+         least(greatest(CAST(floor(signal) AS BIGINT), 0), 89) AS lat_q,
+         CAST(sign(signal - 50.0) AS INTEGER) AS hemi_sign
+  FROM transcripts
+)
+SELECT conv_id, turn_idx, lat_q, hemi_sign,
+       CASE WHEN hemi_sign >= 0 THEN 'N' ELSE 'S' END AS hemisphere,
+       ({_KM_TABLE})[CAST(lat_q AS INTEGER) + 1] AS km_per_deg,
+       round(10.0 / ({_KM_TABLE})[CAST(lat_q AS INTEGER) + 1], 6) AS deg_for_10km
+FROM q
+"""
+
+ORACLES_OPS["median_mad"] = f"""
+{_T},
+q AS (
+  SELECT conv_id, CAST(floor(signal * 100 + 0.5) AS BIGINT) AS yc
+  FROM transcripts
+)
+SELECT conv_id, count(*) AS n,
+       round(median(yc) / 100.0, 6) AS median_signal,
+       round(mad(yc) / 100.0, 6) AS mad_signal
+FROM q GROUP BY conv_id
+"""
+
+ORACLES_OPS["point_geocoder"] = f"""
+{_T},
+bounds AS (
+  SELECT conv_id, min({US}) AS lo0, max({US}) AS hi0
+  FROM transcripts GROUP BY conv_id
+),
+cand AS (
+  SELECT conv_id, turn_idx, tool, {US} AS us,
+         CAST(floor(signal * 100 + 0.5) AS BIGINT) AS yc
+  FROM transcripts
+  WHERE role = 'tool' AND tool IS NOT NULL AND tool <> ''
+),
+fenced AS (
+  SELECT c.* FROM cand c JOIN bounds b ON c.conv_id = b.conv_id
+  WHERE c.us BETWEEN b.lo0 + CAST(floor(0.1 * (b.hi0 - b.lo0)) AS BIGINT)
+                 AND b.hi0 - CAST(floor(0.1 * (b.hi0 - b.lo0)) AS BIGINT)
+),
+per_tool AS (
+  SELECT conv_id, tool, count(*) AS n_t, CAST(sum(yc) AS BIGINT) AS sy_t
+  FROM fenced GROUP BY conv_id, tool
+),
+centroid AS (
+  SELECT conv_id, sum(CAST(sy_t AS DOUBLE) / n_t) / count(*) AS centroid_c
+  FROM per_tool GROUP BY conv_id
+),
+scored AS (
+  SELECT f.*, round(abs(f.yc - c.centroid_c) / 100.0, 6) AS dist
+  FROM fenced f JOIN centroid c ON f.conv_id = c.conv_id
+),
+deduped AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY conv_id, tool
+                                 ORDER BY dist ASC, turn_idx ASC) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+topk AS (
+  SELECT *, rank() OVER (PARTITION BY conv_id ORDER BY yc DESC) AS rk
+  FROM deduped
+)
+SELECT conv_id, tool, turn_idx, round(yc / 100.0, 6) AS signal, dist, rk
+FROM topk WHERE rk <= 4
+"""

@@ -99,10 +99,17 @@ def run_side_input_stage(
 
 
 class Pipeline:
-    def __init__(self, stages: list[Stage], workdir: str, n_buckets: int = 32):
+    def __init__(
+        self,
+        stages: list[Stage],
+        workdir: str,
+        n_buckets: int = 32,
+        max_attempts: int = 3,
+    ):
         self.stages = stages
         self.workdir = workdir
         self.n_buckets = n_buckets
+        self.max_attempts = max_attempts
 
     def _log_metrics(self, run_id: str, stage_id: str, res: mf.StageResult) -> None:
         os.makedirs(self.workdir, exist_ok=True)
@@ -113,6 +120,7 @@ class Pipeline:
             "wall_ms": res.wall_ms,
             "buckets_computed": res.buckets_computed,
             "buckets_skipped": res.buckets_skipped,
+            "buckets_poisoned": res.buckets_poisoned,
             "config_hash": res.config_hash,
             "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         }
@@ -144,9 +152,24 @@ class Pipeline:
         cur = live
         for st in self.stages:
             out_dir = os.path.join(self.workdir, st.stage_id)
-            res = mf.write_stage(
-                st.fn(cur), out_dir, st.stage_id, st.config, self.n_buckets
+            # resilient write: zero-overhead fast path; on failure, per-bucket
+            # retry with delivery-limit-3 poison-pill quarantine (manifest.py)
+            src = cur
+            res = mf.write_stage_resilient(
+                lambda s=st, d=src: s.fn(d),
+                out_dir,
+                st.stage_id,
+                st.config,
+                self.n_buckets,
+                max_attempts=self.max_attempts,
             )
             self._log_metrics(run_id, st.stage_id, res)
-            cur = mf.read_stage(spark, out_dir, st.stage_id, st.config, self.n_buckets)
+            cur = mf.read_stage(
+                spark,
+                out_dir,
+                st.stage_id,
+                st.config,
+                self.n_buckets,
+                require_complete=res.buckets_poisoned == 0,
+            )
         return cur

@@ -44,6 +44,10 @@ def q_simhash(spark, sf_dir):
     return dd.simhash16(_docs(spark, sf_dir))
 
 
+def q_simhash_pairs(spark, sf_dir):
+    return dd.simhash_pairs(_docs(spark, sf_dir))
+
+
 def q_embedding_cosine_pairs(spark, sf_dir):
     return dd.embedding_cosine_pairs(_emb(spark, sf_dir), threshold=0.5)
 
@@ -53,7 +57,9 @@ def q_ann_bruteforce(spark, sf_dir):
 
 
 def q_ann_lsh(spark, sf_dir):
-    return ann_lsh(_emb(spark, sf_dir), n_queries=5, k=10, n_planes=4)
+    # n_planes follows similarity.ANN_PLANES (8 -> 256 buckets/table); the
+    # oracle generator is parameterized on the same constants
+    return ann_lsh(_emb(spark, sf_dir), n_queries=5, k=10)
 
 
 def q_lang_id(spark, sf_dir):
@@ -90,6 +96,7 @@ QUERIES_DOCS = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "simhash": q_simhash,
+    "simhash_pairs": q_simhash_pairs,
     "embedding_cosine_pairs": q_embedding_cosine_pairs,
     "ann_bruteforce": q_ann_bruteforce,
     "ann_lsh": q_ann_lsh,

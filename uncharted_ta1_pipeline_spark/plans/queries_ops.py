@@ -181,6 +181,22 @@ def q_meteor_fields(spark, sf_dir):
     return meteor_per_field(_t(spark, sf_dir))
 
 
+def q_geodesic_scale(spark, sf_dir):
+    from uncharted_ta1_pipeline_spark.functions.geof import geodesic_scale
+
+    return geodesic_scale(_t(spark, sf_dir))
+
+
+def q_median_mad(spark, sf_dir):
+    from uncharted_ta1_pipeline_spark.functions.geof import grouped_median_mad
+
+    return grouped_median_mad(_t(spark, sf_dir))
+
+
+def q_point_geocoder(spark, sf_dir):
+    return jn.point_geocoder(_t(spark, sf_dir))
+
+
 def q_halt_predicate(spark, sf_dir):
     # threshold high enough to actually halt some conversations at sf0.01
     return halt_predicate(_t(spark, sf_dir), min_turns=50)
@@ -221,6 +237,9 @@ QUERIES_OPS = {
     "meteor_fields": q_meteor_fields,
     "extract_ladder": q_extract_ladder,
     "halt_predicate": q_halt_predicate,
+    "geodesic_scale": q_geodesic_scale,
+    "median_mad": q_median_mad,
+    "point_geocoder": q_point_geocoder,
 }
 
 
