@@ -97,14 +97,20 @@ def featurize_hybrid(
         .filter(F.col("_n_conv") > hot_threshold)
         .select("conv_id", F.lit(True).alias("_hot"))
     )
+    # planning decision, evaluated eagerly like AQE's runtime stats: a tiny
+    # aggregate-only action over a column-pruned scan, not a data collect —
+    # with no hot conversations BOTH strategies collapse to the plain
+    # single-window path (1 full scan, no explode overhead)
+    if hot.isEmpty():
+        return featurize(df, rolling_width=rolling_width)
     if single_pass:
         # ONE full-width pass: cold conversations flow through the salted
         # machinery with a constant chunk (≡ the plain per-conv window —
         # same task shape, no carries), hot conversations get real chunks.
-        # Physical plan: 1 column-pruned scan (conv_id only) for the hot
-        # dim + 1 full scan — versus 3 full-input scans (hot agg + cold
-        # branch + hot branch) and an eager isEmpty() action in the
-        # branched path.  At 100 TB the saved pass dominates.
+        # Physical plan: 1 full-width scan (the output branch) + 1 narrow
+        # hot-only scan (chunk sums) + pruned conv_id scans for the dims —
+        # versus 3 full-input scans in the branched path.  At 100 TB the
+        # saved full-width passes dominate.
         flagged = df.join(F.broadcast(hot), on="conv_id", how="left")
         return featurize_salted(
             flagged,
@@ -113,11 +119,7 @@ def featurize_hybrid(
             gap_s=gap_s,
             hot_col="_hot",
         )
-    # branched strategy (kept for A/B): planning decision, evaluated eagerly
-    # like AQE's runtime stats: a tiny aggregate-only action, not a data
-    # collect
-    if hot.isEmpty():
-        return featurize(df, rolling_width=rolling_width)
+    # branched strategy (kept for A/B)
     flagged = df.join(F.broadcast(hot), on="conv_id", how="left")
     cold_f = featurize(
         flagged.filter(F.col("_hot").isNull()).drop("_hot"),
@@ -273,13 +275,49 @@ def featurize_salted(
     )
 
     # ---- chunk summaries (ONE tiny row per (conv, chunk)) -------------------
-    # only HOT conversations need cross-chunk offsets: cold chunks are whole
-    # conversations (their within-chunk prefixes are already global), so the
-    # offsets dim stays tiny and broadcastable even with 10^8 cold convs.
+    # Computed from a NARROW re-derivation of the input, NOT from the
+    # exploded/windowed frame ``a``: reusing ``a`` here would evaluate the
+    # expensive augmented-stream window TWICE (once for output rows, once
+    # for these sums — measured 2.3x the plain path at sf0.1).  The sums
+    # need only (conv_id, ts, turn_idx, tool), so this branch is a
+    # column-pruned scan + two cheap windows; for real rows the augmented
+    # stream's lag equals the plain per-conversation lag, so the session
+    # flags are identical.  Only HOT conversations need cross-chunk
+    # offsets: cold chunks are whole conversations (their within-chunk
+    # prefixes are already global), so the offsets dim stays tiny and
+    # broadcastable even with 10^8 cold convs.
     reals = a.filter(real)
-    sums = (reals.filter(hot) if hot_col is not None else reals).groupBy(
-        "conv_id", "_tgt"
-    ).agg(
+    sums_src = df
+    if hot_col is not None:
+        sums_src = sums_src.filter(F.coalesce(F.col(hot_col), F.lit(False)))
+    w_conv = Window.partitionBy("conv_id").orderBy("ts", "turn_idx")
+    nb = (
+        sums_src.select("conv_id", "ts", "turn_idx", "tool")
+        .withColumn("_us", F.unix_micros(F.col("ts")))
+        .withColumn("_tgt", F.floor(F.col("turn_idx") / F.lit(cs)))
+        .withColumn("_used", non_empty.cast("long"))
+        .withColumn(
+            "_first_use",
+            (
+                (
+                    F.row_number().over(
+                        Window.partitionBy("conv_id", "tool").orderBy("ts", "turn_idx")
+                    )
+                    == 1
+                )
+                & non_empty
+            ).cast("long"),
+        )
+        .withColumn("_prev_us", F.lag("_us").over(w_conv))
+        .withColumn(
+            "_is_new",
+            (
+                F.col("_prev_us").isNull()
+                | ((F.col("_us") - F.col("_prev_us")) > F.lit(gap_s * 1_000_000))
+            ).cast("long"),
+        )
+    )
+    sums = nb.groupBy("conv_id", "_tgt").agg(
         F.count(F.lit(1)).alias("_n"),
         F.sum("_used").alias("_tools"),
         F.sum("_first_use").alias("_firsts"),

@@ -1102,3 +1102,60 @@ topk AS (
 SELECT conv_id, tool, turn_idx, round(yc / 100.0, 6) AS signal, dist, rk
 FROM topk WHERE rk <= 4
 """
+
+
+# --- OutputCreator queries (plans/outputs.py) ------------------------------
+# scoring_output wraps the asof_fit_predict oracle as a derived table: the
+# fit columns are already rounded + sign-normalized there, so the error
+# arithmetic differences identical doubles in both engines.
+from uncharted_ta1_pipeline_spark.plans.oracles import ORACLES as _CORE_ORACLES
+
+ORACLES_OPS["scoring_output"] = f"""
+SELECT probe_id, conv_id, probe_ts_us, pred, n_obs,
+       round(pred - intercept, 6) + 0 AS error,
+       abs(round(pred - intercept, 6) + 0) AS abs_error,
+       round(1 - 1.0 / (n_obs + 1), 6) AS confidence
+FROM ({_CORE_ORACLES["asof_fit_predict"]})
+"""
+
+ORACLES_OPS["summary_output"] = f"""
+{_T},
+hist AS (
+  SELECT conv_id, role, count(*) AS n,
+         count(DISTINCT nullif(tool, '')) AS nd
+  FROM transcripts GROUP BY conv_id, role
+),
+piv AS (
+  SELECT conv_id,
+    coalesce(max(CASE WHEN role = 'user'
+      THEN CAST(n AS VARCHAR) || ';' || CAST(nd AS VARCHAR) END), '') AS user_src,
+    coalesce(max(CASE WHEN role = 'assistant'
+      THEN CAST(n AS VARCHAR) || ';' || CAST(nd AS VARCHAR) END), '') AS assistant_src,
+    coalesce(max(CASE WHEN role = 'tool'
+      THEN CAST(n AS VARCHAR) || ';' || CAST(nd AS VARCHAR) END), '') AS tool_src
+  FROM hist GROUP BY conv_id
+),
+werr AS (
+  SELECT conv_id, signal - avg(signal) OVER (PARTITION BY conv_id) AS err
+  FROM transcripts
+),
+rmse AS (
+  SELECT conv_id, round(sqrt(avg(err * err)), 6) AS rmse
+  FROM werr GROUP BY conv_id
+),
+g AS (
+  SELECT conv_id, count(*) AS n_obs,
+         sum(ln(greatest(least(signal / 100.0, 1.0), 0.01))) AS logsum
+  FROM transcripts GROUP BY conv_id
+),
+conf AS (
+  SELECT conv_id,
+         round(least(exp(logsum + greatest(n_obs - 2, 0) * ln(1.1)), 1.0), 6)
+           AS confidence
+  FROM g
+)
+SELECT p.conv_id, user_src, assistant_src, tool_src, rmse, confidence
+FROM piv p
+LEFT JOIN rmse USING (conv_id)
+LEFT JOIN conf USING (conv_id)
+"""

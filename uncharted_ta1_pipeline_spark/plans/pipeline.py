@@ -98,6 +98,39 @@ def run_side_input_stage(
     return out, refreshed
 
 
+# metrics.jsonl row schema — the CDR writer's metrics-table half
+# (/root/reference/cdr_writer/write_result_subscriber.py:68-398 pushes
+# results + metrics; request_client.py:397-417 POSTs per-request timings).
+METRICS_SCHEMA = (
+    "run_id string, stage_id string, rows_out long, wall_ms long, "
+    "buckets_computed int, buckets_skipped int, buckets_poisoned int, "
+    "config_hash string, committed_at string"
+)
+
+
+def metrics_table(spark: SparkSession, workdir: str) -> DataFrame:
+    """The metrics sink as a queryable TABLE: per-(run, stage) provenance
+    rows with an explicit schema (no inference — stable even on an empty
+    file)."""
+    return spark.read.schema(METRICS_SCHEMA).json(
+        os.path.join(workdir, "metrics.jsonl")
+    )
+
+
+def write_feature_table(
+    df: DataFrame, path: str, partition_cols: list[str] | None = None
+) -> None:
+    """Final typed feature-table write (the CDR writer's result half):
+    schema-stable parquet, partitioned by the declared columns so
+    downstream reads prune on them.  At cluster scale this is the
+    ``writeTo(...).append()`` Iceberg commit; parquet overwrite is the
+    sandbox equivalent (plans/manifest.py:22-24)."""
+    w = df.write.mode("overwrite")
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    w.parquet(path)
+
+
 class Pipeline:
     def __init__(
         self,

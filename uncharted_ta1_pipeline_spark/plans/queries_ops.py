@@ -284,3 +284,27 @@ def q_asof_features_bucketed(spark, sf_dir):
 
 QUERIES_OPS["featurize_full"] = q_featurize_full
 QUERIES_OPS["asof_features_bucketed"] = q_asof_features_bucketed
+
+
+def q_scoring_output(spark, sf_dir):
+    """ScoringOutput creator over the fit-predict result (extended field
+    set): per-probe prediction + trend-adjustment error + support-based
+    confidence (plans/outputs.py)."""
+    from uncharted_ta1_pipeline_spark.operators.asof import fit_predict_at_probes
+    from uncharted_ta1_pipeline_spark.plans.outputs import scoring_output
+    from uncharted_ta1_pipeline_spark.sources.transcripts import make_probes
+
+    t = _t(spark, sf_dir)
+    return scoring_output(fit_predict_at_probes(make_probes(t), t), extended=True)
+
+
+def q_summary_output(spark, sf_dir):
+    """SummaryOutput creator: one row per conversation with per-source
+    contribution strings + rmse + confidence (plans/outputs.py)."""
+    from uncharted_ta1_pipeline_spark.plans.outputs import summary_output
+
+    return summary_output(_t(spark, sf_dir))
+
+
+QUERIES_OPS["scoring_output"] = q_scoring_output
+QUERIES_OPS["summary_output"] = q_summary_output
