@@ -67,6 +67,7 @@ _PRIORITY = [
     "geodesic_scale",       # NEW: scalar pandas_udf surface
     "median_mad",           # NEW: grouped-agg pandas_udf surface
     "point_geocoder",       # NEW: composed prune+centroid-rank+topk
+    "datum_shift",          # NEW: scalar pandas_udf after a join
     "scoring_output",       # NEW: ScoringOutput creator (extended fields)
     "summary_output",       # NEW: SummaryOutput creator (per-source strings)
     "ann_lsh",              # rewritten after r01; n_planes 4 -> 8 this round

@@ -124,6 +124,45 @@ def geodesic_scale(df: DataFrame) -> DataFrame:
     )
 
 
+def datum_shift(df: DataFrame) -> DataFrame:
+    """Query-point datum shift (georeference.py:164-174: a deterministic
+    scalar CRS transform applied to query points AFTER the join with their
+    matched map points): each tool turn joins its nearest user turn
+    (operators/joins.nearest_join) and the tool's signal is shifted by a
+    correction looked up — via the scalar pandas UDF — from the
+    constant-folded table at the anchor's latitude.  Tool turns with no
+    user anchor pass through unshifted (the reference keeps unshiftable
+    points on the source datum)."""
+    from uncharted_ta1_pipeline_spark.operators.joins import nearest_join
+
+    km_udf = _scalar_udfs()
+    nj = nearest_join(df).select("conv_id", "tool_idx", "nearest_user_idx")
+    tool_sig = df.select(
+        "conv_id", F.col("turn_idx").alias("tool_idx"), F.col("signal").alias("_sig_t")
+    )
+    user_sig = df.select(
+        "conv_id",
+        F.col("turn_idx").alias("nearest_user_idx"),
+        F.col("signal").alias("_sig_u"),
+    )
+    j = nj.join(tool_sig, on=["conv_id", "tool_idx"]).join(
+        user_sig, on=["conv_id", "nearest_user_idx"], how="left"
+    )
+    lat_q = F.least(
+        F.greatest(F.floor(F.col("_sig_u")).cast("long"), F.lit(0)), F.lit(89)
+    )
+    km = km_udf(F.coalesce(lat_q, F.lit(0)))
+    shifted = F.round(
+        F.when(
+            F.col("_sig_u").isNull(), F.col("_sig_t")
+        ).otherwise(F.col("_sig_t") + km / F.lit(111.32) - F.lit(1.0)),
+        6,
+    )
+    return j.select(
+        "conv_id", "tool_idx", "nearest_user_idx", shifted.alias("shifted_signal")
+    )
+
+
 def grouped_median_mad(df: DataFrame) -> DataFrame:
     """Per-conversation exact median/MAD of the centi-quantized signal via
     grouped-agg pandas UDFs."""

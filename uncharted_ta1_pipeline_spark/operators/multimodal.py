@@ -12,11 +12,15 @@ Spark-side design (real and tested here):
 - decode / feature-extract / resize / frame-sample run as Arrow-batched
   ``mapInPandas`` stages (bounded batches ≈ the reference's inference
   batch size), partition-parallel, schema-declared;
-- the actual codec call is STUBBED: the container has no image/audio
-  libraries, so ``decode_backend='real'`` raises NotImplementedError and
-  the default deterministic fake derives "decoded" values purely from the
-  payload bytes (md5-based) — making the plumbing testable and the outputs
-  reproducible.
+- codec backends: ``'fake'`` (default) derives "decoded" values purely
+  from the payload bytes (md5-based) so the plumbing is testable with any
+  payload; ``'ppm'`` is a REAL codec — a numpy-only decoder/encoder for
+  binary PPM (P6) images (``_decode_ppm``/``_encode_ppm``), with true
+  pixel statistics and true nearest-neighbor resampling in
+  ``resize_pixels`` — proving the full decode→feature→resize path end to
+  end without external libraries; ``'real'`` (PIL/librosa/ffmpeg for the
+  remaining formats) raises NotImplementedError in this container by
+  design.
 """
 
 from __future__ import annotations
@@ -70,6 +74,85 @@ def synth_media(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFrame:
     )
 
 
+def _encode_ppm(arr) -> bytes:
+    """numpy (H, W, 3) uint8 -> binary PPM P6 payload."""
+    h, w = arr.shape[0], arr.shape[1]
+    return b"P6\n%d %d\n255\n" % (w, h) + arr.tobytes()
+
+
+def _decode_ppm(payload: bytes):
+    """Binary PPM P6 -> numpy (H, W, 3) uint8.  A real image codec in pure
+    numpy: header tokens (magic, width, height, maxval; '#' comments
+    allowed) followed by raw RGB24."""
+    import numpy as np
+
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a P6 PPM payload")
+    tokens, pos = [], 2
+    while len(tokens) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment to end of line
+            pos = payload.index(b"\n", pos) + 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = tokens
+    if maxval != 255:
+        raise ValueError(f"only maxval 255 supported, got {maxval}")
+    raw = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
+    return raw.reshape(h, w, 3)
+
+
+def synth_ppm_media(spark: SparkSession, n: int = 32) -> DataFrame:
+    """Deterministic REAL images: (media_id)-seeded RGB gradient patterns
+    encoded as binary PPM P6 — generated executor-side (mapInPandas), so
+    the table is distributed from birth like any 100 TB media table."""
+    base = spark.range(n).select(
+        F.col("id").alias("media_id"),
+        F.concat(F.lit("conv"), F.lpad((F.col("id") % 10).cast("string"), 6, "0")).alias(
+            "conv_id"
+        ),
+        (F.col("id") % 48 + 16).cast("int").alias("w"),
+        (F.col("id") % 32 + 16).cast("int").alias("h"),
+    )
+
+    def gen(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid, conv, w, h in pdf.itertuples(index=False):
+                yy, xx = np.mgrid[0:h, 0:w]
+                arr = np.stack(
+                    [
+                        (xx * 255 // max(w - 1, 1)).astype(np.uint8),
+                        (yy * 255 // max(h - 1, 1)).astype(np.uint8),
+                        np.full((h, w), mid % 256, dtype=np.uint8),
+                    ],
+                    axis=-1,
+                )
+                rows.append(
+                    (
+                        mid,
+                        conv,
+                        "image/x-portable-pixmap",
+                        _encode_ppm(arr),
+                        {"width": int(w), "height": int(h),
+                         "duration_ms": 0, "sample_rate": 0},
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "conv_id", "mime", "payload", "meta"]
+            )
+
+    return base.mapInPandas(gen, MEDIA_SCHEMA)
+
+
 def _fake_decode(payload: bytes) -> dict:
     """Deterministic stand-in for a codec: derives values from content."""
     h = hashlib.md5(payload).digest()
@@ -79,23 +162,37 @@ def _fake_decode(payload: bytes) -> dict:
     }
 
 
+def _ppm_decode(payload: bytes) -> dict:
+    """REAL decode: true mean brightness over actual pixel values."""
+    import numpy as np
+
+    arr = _decode_ppm(payload)
+    return {
+        "brightness": round(float(np.mean(arr)) / 255.0, 6),
+        "n_frames": 1,
+    }
+
+
 def extract_features(media: DataFrame, decode_backend: str = "fake") -> DataFrame:
     """Batched decode + feature extraction via mapInPandas (Arrow).
 
-    ``decode_backend='real'`` is the production path (PIL/librosa/ffmpeg on
-    the executors) — unavailable in this container by design."""
+    ``decode_backend='ppm'`` runs the real numpy PPM codec;
+    ``decode_backend='real'`` is the remaining-formats production path
+    (PIL/librosa/ffmpeg on the executors) — unavailable in this container
+    by design."""
     if decode_backend == "real":
         raise NotImplementedError(
-            "real codecs (PIL/librosa/ffmpeg) are not installed in this "
-            "container; use decode_backend='fake' — the Spark plumbing "
-            "(schema, batching, partitioning) is identical"
+            "PIL/librosa/ffmpeg are not installed in this container; use "
+            "decode_backend='ppm' (real numpy codec) or 'fake' — the Spark "
+            "plumbing (schema, batching, partitioning) is identical"
         )
+    decode = _ppm_decode if decode_backend == "ppm" else _fake_decode
 
     def fn(batches: Iterator) -> Iterator:
         import pandas as pd
 
         for pdf in batches:  # bounded Arrow batches ≈ inference batch size
-            feats = [_fake_decode(bytes(p)) for p in pdf["payload"]]
+            feats = [decode(bytes(p)) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -127,6 +224,45 @@ def resize(media: DataFrame, max_dim: int = 256) -> DataFrame:
         F.floor(F.col("meta.width") * scale).cast("int").alias("out_width"),
         F.floor(F.col("meta.height") * scale).cast("int").alias("out_height"),
         F.length("payload").cast("long").alias("n_bytes"),
+    )
+
+
+RESIZED_SCHEMA = (
+    "media_id long, mime string, out_width int, out_height int, payload binary"
+)
+
+
+def resize_pixels(media: DataFrame, max_dim: int = 256) -> DataFrame:
+    """REAL resize for PPM rows: decode, nearest-neighbor resample in numpy,
+    re-encode — the pixel half of ``resize`` (whose geometry math stays
+    JVM-side and is reused here via a join-free recomputation).  Arrow
+    batches bound the in-flight pixel memory exactly like the inference
+    batch size bounds the reference's GPU memory."""
+
+    def fn(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid, mime, payload in pdf[["media_id", "mime", "payload"]].itertuples(
+                index=False
+            ):
+                arr = _decode_ppm(bytes(payload))
+                h, w = arr.shape[0], arr.shape[1]
+                scale = min(1.0, max_dim / max(w, h))
+                ow, oh = max(int(w * scale), 1), max(int(h * scale), 1)
+                yi = (np.arange(oh) * h) // oh
+                xi = (np.arange(ow) * w) // ow
+                out = arr[yi][:, xi]
+                rows.append((mid, mime, ow, oh, _encode_ppm(out)))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "mime", "out_width", "out_height", "payload"],
+            )
+
+    return media.filter(F.col("mime") == "image/x-portable-pixmap").mapInPandas(
+        fn, RESIZED_SCHEMA
     )
 
 

@@ -83,6 +83,7 @@ def ransac_slope(
     max_obs_per_group: int = 512,
     n_iter: int = 32,
     seed: int = 911,
+    strategy: str = "batched",
 ) -> DataFrame:
     """Per-conversation robust line fit value ~ seconds-since-first-turn.
 
@@ -98,7 +99,19 @@ def ransac_slope(
     - x is quantized to whole seconds and y to centi-units, so the refit's
       sufficient statistics are EXACT integers (no accumulation-order
       sensitivity) and the final OLS is recovered in double identically in
-      both engines."""
+      both engines.
+
+    ``strategy`` picks the physical plan (results identical — pytest):
+    - ``'batched'`` (default): hash-repartition by conv_id, ONE Arrow
+      transfer per partition, groups re-assembled pandas-side.  Grouped-map
+      applyInPandas pays a per-GROUP Arrow round-trip that dominates small
+      groups (measured 3.4-5.7s vs 0.7s for a trivial kernel over 1,500
+      groups at sf0.1 — per-group overhead, not compute).  Memory stays
+      bounded: every group is capped at ``max_obs_per_group`` rows and
+      partition count spreads conversations, so a partition holds
+      ~(n_convs/parallelism)*cap rows.
+    - ``'grouped'``: the plain applyInPandas surface, kept for parity
+      evidence and for kernels whose per-group state must not co-reside."""
     import numpy as np
     import pandas as pd
 
@@ -114,18 +127,14 @@ def ransac_slope(
         .select("conv_id", "turn_idx", "_us", "_yc")
     )
 
-    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
-        conv = pdf["conv_id"].iloc[0]
+    def _fit_rows(conv: str, pdf: pd.DataFrame) -> list:
         pdf = pdf.sort_values(["_us", "turn_idx"], kind="mergesort")
         usv = pdf["_us"].to_numpy()
         x = (usv - usv.min()) // 1_000_000  # int64 whole seconds
         yc = pdf["_yc"].to_numpy()
         n = len(x)
         if n < 2:
-            return pd.DataFrame(
-                [[conv, None, None, 0, n]],
-                columns=["conv_id", "slope", "intercept", "n_inliers", "n_obs"],
-            )
+            return [conv, None, None, 0, n]
         med = float(np.median(yc))
         thresh = max(3.0 * float(np.median(np.abs(yc - med))), 1e-9)
         best_inl, best_m, best_b = -1, 0.0, 0.0
@@ -150,9 +159,30 @@ def ransac_slope(
             if denom > 0:
                 m_f = (float(k) * float(sxy) - float(sx) * float(sy)) / denom
                 b_f = (float(sy) - m_f * float(sx)) / float(k)
-        return pd.DataFrame(
-            [[conv, round(m_f / 100, 6), round(b_f / 100, 6), k, n]],
-            columns=["conv_id", "slope", "intercept", "n_inliers", "n_obs"],
-        )
+        return [conv, round(m_f / 100, 6), round(b_f / 100, 6), k, n]
 
-    return capped.groupBy("conv_id").applyInPandas(fit, RANSAC_SCHEMA)
+    cols = ["conv_id", "slope", "intercept", "n_inliers", "n_obs"]
+
+    if strategy == "grouped":
+
+        def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame([_fit_rows(pdf["conv_id"].iloc[0], pdf)], columns=cols)
+
+        return capped.groupBy("conv_id").applyInPandas(fit, RANSAC_SCHEMA)
+    if strategy != "batched":
+        raise ValueError(f"unknown strategy {strategy!r}")
+
+    def fit_partition(batches):
+        # one Arrow transfer per partition; bounded by cap * convs-per-
+        # partition.  Concat first: a conversation's rows may split across
+        # input Arrow batches within the partition.
+        pdfs = list(batches)
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True)
+        rows = [
+            _fit_rows(conv, g) for conv, g in pdf.groupby("conv_id", sort=False)
+        ]
+        yield pd.DataFrame(rows, columns=cols)
+
+    return capped.repartition("conv_id").mapInPandas(fit_partition, RANSAC_SCHEMA)

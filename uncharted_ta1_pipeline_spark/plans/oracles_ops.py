@@ -1159,3 +1159,38 @@ FROM piv p
 LEFT JOIN rmse USING (conv_id)
 LEFT JOIN conf USING (conv_id)
 """
+
+
+ORACLES_OPS["datum_shift"] = f"""
+{_T},
+nb AS (
+  SELECT conv_id, turn_idx, role, signal, {US} AS us,
+         last_value(CASE WHEN role = 'user'
+                         THEN struct_pack(turn_idx := turn_idx, us := {US}) END
+                    IGNORE NULLS)
+           OVER ({_ORD} ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev,
+         first_value(CASE WHEN role = 'user'
+                          THEN struct_pack(turn_idx := turn_idx, us := {US}) END
+                     IGNORE NULLS)
+           OVER ({_ORD} ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nxt
+  FROM transcripts
+),
+nj AS (
+  SELECT conv_id, turn_idx AS tool_idx, signal AS sig_t,
+         CASE WHEN prev IS NULL THEN nxt.turn_idx
+              WHEN nxt IS NULL THEN prev.turn_idx
+              WHEN (nxt.us - us) < (us - prev.us) THEN nxt.turn_idx
+              ELSE prev.turn_idx END AS nearest_user_idx
+  FROM nb WHERE role = 'tool'
+)
+SELECT n.conv_id, n.tool_idx, n.nearest_user_idx,
+       round(CASE WHEN u.signal IS NULL THEN n.sig_t
+                  ELSE n.sig_t
+                       + ({_KM_TABLE})[CAST(least(greatest(
+                             CAST(floor(u.signal) AS BIGINT), 0), 89)
+                           AS INTEGER) + 1] / 111.32
+                       - 1 END, 6) AS shifted_signal
+FROM nj n
+LEFT JOIN transcripts u
+  ON u.conv_id = n.conv_id AND u.turn_idx = n.nearest_user_idx
+"""

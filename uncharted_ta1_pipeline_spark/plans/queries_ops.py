@@ -308,3 +308,14 @@ def q_summary_output(spark, sf_dir):
 
 QUERIES_OPS["scoring_output"] = q_scoring_output
 QUERIES_OPS["summary_output"] = q_summary_output
+
+
+def q_datum_shift(spark, sf_dir):
+    """Scalar pandas UDF applied after a join: query-point datum shift at
+    the nearest user anchor (functions/geof.py)."""
+    from uncharted_ta1_pipeline_spark.functions.geof import datum_shift
+
+    return datum_shift(_t(spark, sf_dir))
+
+
+QUERIES_OPS["datum_shift"] = q_datum_shift
