@@ -70,6 +70,9 @@ _PRIORITY = [
     "datum_shift",          # NEW: scalar pandas_udf after a join
     "scoring_output",       # NEW: ScoringOutput creator (extended fields)
     "summary_output",       # NEW: SummaryOutput creator (per-source strings)
+    "ivf_assign",           # NEW r3b: IVF coarse-quantizer assignment
+    "ivf_topk",             # NEW r3b: IVF nprobe top-k search
+    "ivf_cluster_stats",    # NEW r3b: IVF codebook occupancy telemetry
     "ann_lsh",              # rewritten after r01; n_planes 4 -> 8 this round
     # tier 2 — no CORRECTNESS_r02 row (driver cap), re-evidence now
     "simhash",

@@ -70,7 +70,11 @@ def main() -> None:
     )
 
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    spark = get_spark(master=f"local[{cpus}]",
+    # SPARK_GRAFT_MASTER overrides (e.g. local-cluster[4,4,8192] for a true
+    # multi-executor run; set SPARK_GRAFT_CPUS to the TOTAL core count so
+    # shuffle partitioning matches).  session.py resolves the env var.
+    master = os.environ.get("SPARK_GRAFT_MASTER") or f"local[{cpus}]"
+    spark = get_spark(master=master,
                       shuffle_partitions=max(int(cpus) * 2, 8))
 
     if args.synth:
@@ -98,8 +102,13 @@ def main() -> None:
     # strategy — hot conversations take the salted/chunked path)
     feats = featurize_hybrid(t, narrow=args.narrow)
     big = args.synth >= 4_000_000
+    # Fresh executor JVMs pay first-touch page faults on their window/
+    # shuffle buffers during the first executions (the Firecracker fault
+    # path, BENCH/BASELINE.md); SPARK_GRAFT_WARMUP lets cluster-mode runs
+    # warm pages before measuring steady state.
+    warmup = int(os.environ.get("SPARK_GRAFT_WARMUP", "0")) or (1 if big else 2)
     timings["featurize_full"] = materialize(
-        feats, warmup=1 if big else 2, runs=args.runs or (2 if big else 3)
+        feats, warmup=warmup, runs=args.runs or (2 if big else 3)
     )
 
     if not args.synth:

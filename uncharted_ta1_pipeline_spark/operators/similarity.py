@@ -141,6 +141,215 @@ def ann_bucket_stats(
     ).withColumnRenamed("_tbl", "table")
 
 
+# IVF (inverted-file) coarse quantizer defaults, shared with the DuckDB
+# oracle generator.  At 100 TB the centroid count tracks corpus size
+# (k ~ sqrt(N)); nprobe trades recall for candidate volume.
+IVF_CENTROIDS = 16
+IVF_NPROBE = 4
+IVF_MAX_CLUSTER = 256
+IVF_QUANT = 1_000_000
+
+
+def _dot(a: F.Column, b: F.Column) -> F.Column:
+    """Sequential-order dot product of two array<double> columns — the same
+    left-to-right evaluation DuckDB's list_inner_product uses, so rounded
+    outputs agree bit-exact across engines."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _dist2(x: F.Column, c: F.Column) -> F.Column:
+    """Rounded squared L2 via the expanded dot form — ||x||^2 - 2<x,c> +
+    ||c||^2 — written identically in the oracle so both engines share one
+    expression tree (oracle-parity rule: same formula, then round)."""
+    return F.round(_dot(x, x) - 2 * _dot(x, c) + _dot(c, c), 6)
+
+
+def _ivf_centroids(
+    v: DataFrame, n_centroids: int, id_col: str = "vec_id"
+) -> DataFrame:
+    """Deterministic IVF codebook: seed with the ``n_centroids`` vectors of
+    smallest (md5(id), id) — an engine-portable pseudo-random sample — then
+    ONE Lloyd refinement whose per-dimension means are computed from
+    integer-quantized sums (floor(x * 1e6) as bigint), so the centroids are
+    bit-identical at any partitioning/parallelism (float accumulation order
+    never crosses rows).  Returns (cluster, _c: array<double>).
+
+    The reference's analog is the tile-grid coarse index used to restrict
+    template matching to nearby candidates (/root/reference/tasks/
+    point_extraction/template_match_point_extractor.py) — here re-expressed
+    as a learned coarse quantizer over the embedding space."""
+    seeds = (
+        v.withColumn("_h", F.md5(F.col(id_col).cast("string").cast("binary")))
+        .orderBy("_h", id_col)
+        .limit(n_centroids)
+    )
+    c0 = seeds.select(
+        (F.row_number().over(Window.orderBy("_h", id_col)) - 1).alias("cluster"),
+        F.col("_v").alias("_c"),
+    )
+    # initial assignment against the seed codebook (16 tiny rows: broadcast)
+    a0 = (
+        v.crossJoin(F.broadcast(c0))
+        .withColumn("_d", _dist2(F.col("_v"), F.col("_c")))
+        .withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.partitionBy(id_col).orderBy("_d", "cluster")
+            ),
+        )
+        .filter(F.col("_rk") == 1)
+        .select(id_col, "cluster", "_v")
+    )
+    # Lloyd step: exact integer per-dimension sums -> deterministic means
+    sums = (
+        a0.select("cluster", F.posexplode("_v").alias("_dim", "_x"))
+        .groupBy("cluster", "_dim")
+        .agg(
+            F.sum(F.floor(F.col("_x") * IVF_QUANT).cast("long")).alias("_s"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+    )
+    return sums.groupBy("cluster").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("_dim"),
+                        (F.col("_s") / (F.lit(float(IVF_QUANT)) * F.col("_n"))).alias(
+                            "_c"
+                        ),
+                    )
+                )
+            ),
+            lambda s: s["_c"],
+        ).alias("_c")
+    )
+
+
+def ivf_assign(
+    emb: DataFrame,
+    n_centroids: int = IVF_CENTROIDS,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Final IVF assignment: every vector's nearest refined centroid —
+    (vec_id, cluster, dist2).  One broadcast join against the k-row
+    codebook; no shuffle of the fact side beyond the Lloyd aggregation, so
+    the plan holds at 10^9+ vectors."""
+    v = emb.select(F.col(id_col), F.col("embedding").cast("array<double>").alias("_v"))
+    cents = _ivf_centroids(v, n_centroids, id_col)
+    return (
+        v.crossJoin(F.broadcast(cents))
+        .withColumn("_d", _dist2(F.col("_v"), F.col("_c")))
+        .withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.partitionBy(id_col).orderBy("_d", "cluster")
+            ),
+        )
+        .filter(F.col("_rk") == 1)
+        .select(id_col, "cluster", F.col("_d").alias("dist2"))
+    )
+
+
+def ivf_cluster_stats(
+    emb: DataFrame,
+    n_centroids: int = IVF_CENTROIDS,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Occupancy per IVF cluster — the codebook-tuning telemetry (empty or
+    degenerate clusters mean k is wrong for the corpus)."""
+    return (
+        ivf_assign(emb, n_centroids, id_col)
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.min(id_col).alias("min_vec_id"),
+            F.max(id_col).alias("max_vec_id"),
+        )
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    n_queries: int = 5,
+    k: int = 10,
+    n_centroids: int = IVF_CENTROIDS,
+    nprobe: int = IVF_NPROBE,
+    max_cluster: int = IVF_MAX_CLUSTER,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k cosine via the IVF index: each query probes its
+    ``nprobe`` nearest clusters and scores ONLY their members — candidate
+    volume is ~nprobe/n_centroids of the corpus instead of all of it.
+
+    Scale guards mirror ann_lsh: the INDEX side of each cluster is capped at
+    ``max_cluster`` members (deterministic by id) so one degenerate cluster
+    cannot go quadratic; queries always probe uncapped."""
+    v = emb.select(F.col(id_col), F.col("embedding").cast("array<double>").alias("_v"))
+    cents = _ivf_centroids(v, n_centroids, id_col)
+    assigned = (
+        v.crossJoin(F.broadcast(cents))
+        .withColumn("_d", _dist2(F.col("_v"), F.col("_c")))
+        .withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.partitionBy(id_col).orderBy("_d", "cluster")
+            ),
+        )
+        .filter(F.col("_rk") == 1)
+        .select(id_col, "cluster")
+    )
+    index = (
+        assigned.withColumn(
+            "_rn", F.row_number().over(Window.partitionBy("cluster").orderBy(id_col))
+        )
+        .filter(F.col("_rn") <= max_cluster)
+        .select(F.col(id_col).alias("neighbor_id"), "cluster")
+    )
+    # each query ranks ALL centroids and keeps its nprobe nearest
+    probes = (
+        v.filter(F.col(id_col) < n_queries)
+        .crossJoin(F.broadcast(cents))
+        .withColumn("_d", _dist2(F.col("_v"), F.col("_c")))
+        .withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.partitionBy(id_col).orderBy("_d", "cluster")
+            ),
+        )
+        .filter(F.col("_rk") <= nprobe)
+        .select(F.col(id_col).alias("query_id"), "cluster")
+    )
+    cand = (
+        probes.join(index, on="cluster")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+    )
+    qv = v.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"), F.col("_v").alias("_q")
+    )
+    nv = v.select(F.col(id_col).alias("neighbor_id"), F.col("_v").alias("_n"))
+    scored = (
+        cand.join(F.broadcast(qv), on="query_id")
+        .join(nv, on="neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("_q"), F.col("_n")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .select("query_id", "neighbor_id", "cosine", F.col("_rk").alias("rk"))
+    )
+
+
 def ann_lsh(
     emb: DataFrame,
     n_queries: int = 5,

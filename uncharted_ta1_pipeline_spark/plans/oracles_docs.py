@@ -325,3 +325,117 @@ SELECT doc_id,
        CAST(len(list_distinct(shingles)) AS BIGINT) AS n_distinct_shingles
 FROM sh
 """
+
+# IVF coarse quantizer (operators/similarity.py:_ivf_centroids): the whole
+# codebook construction is replayed in SQL — md5-seeded sample, one Lloyd
+# step over integer-quantized per-dimension sums (exact at any engine /
+# parallelism), expanded-dot-form distances rounded to 6 — so every stage
+# is bit-portable between Spark and DuckDB.
+from uncharted_ta1_pipeline_spark.operators.similarity import (  # noqa: E402
+    EMB_DIM,
+    IVF_CENTROIDS,
+    IVF_MAX_CLUSTER,
+    IVF_NPROBE,
+    IVF_QUANT,
+)
+
+_IVF_D2_C0 = (
+    "round(list_inner_product(v.x, v.x) - 2 * list_inner_product(v.x, c0.c)"
+    " + list_inner_product(c0.c, c0.c), 6)"
+)
+_IVF_D2_C1 = (
+    "round(list_inner_product(v.x, v.x) - 2 * list_inner_product(v.x, c1.c)"
+    " + list_inner_product(c1.c, c1.c), 6)"
+)
+_IVF_BASE = f"""
+v AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
+seeds AS (
+  SELECT vec_id, md5(CAST(vec_id AS VARCHAR)) AS h
+  FROM embeddings ORDER BY h, vec_id LIMIT {IVF_CENTROIDS}
+),
+c0 AS (
+  SELECT row_number() OVER (ORDER BY s.h, s.vec_id) - 1 AS cluster, v.x AS c
+  FROM seeds s JOIN v ON v.vec_id = s.vec_id
+),
+a0 AS (
+  SELECT vec_id, cluster FROM (
+    SELECT v.vec_id, c0.cluster,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {_IVF_D2_C0}, c0.cluster) AS rk
+    FROM v CROSS JOIN c0
+  ) WHERE rk = 1
+),
+sums AS (
+  SELECT a0.cluster, d.dim,
+         SUM(CAST(floor(v.x[d.dim] * {IVF_QUANT}) AS BIGINT)) AS s,
+         COUNT(*) AS n
+  FROM a0 JOIN v USING (vec_id)
+  CROSS JOIN generate_series(1, {EMB_DIM}) AS d(dim)
+  GROUP BY a0.cluster, d.dim
+),
+c1 AS (
+  SELECT cluster, list(s / ({IVF_QUANT}.0 * n) ORDER BY dim) AS c
+  FROM sums GROUP BY cluster
+),
+a1 AS (
+  SELECT vec_id, cluster, dist2 FROM (
+    SELECT v.vec_id, c1.cluster, {_IVF_D2_C1} AS dist2,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {_IVF_D2_C1}, c1.cluster) AS rk
+    FROM v CROSS JOIN c1
+  ) WHERE rk = 1
+)"""
+
+ORACLES_DOCS["ivf_assign"] = f"""
+WITH
+{_IVF_BASE}
+SELECT vec_id, CAST(cluster AS BIGINT) AS cluster, dist2 FROM a1
+"""
+
+ORACLES_DOCS["ivf_cluster_stats"] = f"""
+WITH
+{_IVF_BASE}
+SELECT CAST(cluster AS BIGINT) AS cluster,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       MIN(vec_id) AS min_vec_id,
+       MAX(vec_id) AS max_vec_id
+FROM a1 GROUP BY cluster
+"""
+
+ORACLES_DOCS["ivf_topk"] = f"""
+WITH
+{_IVF_BASE},
+idx AS (
+  SELECT vec_id AS neighbor_id, cluster FROM (
+    SELECT vec_id, cluster,
+           row_number() OVER (PARTITION BY cluster ORDER BY vec_id) AS rn
+    FROM a1
+  ) WHERE rn <= {IVF_MAX_CLUSTER}
+),
+probes AS (
+  SELECT vec_id AS query_id, cluster FROM (
+    SELECT v.vec_id, c1.cluster,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {_IVF_D2_C1}, c1.cluster) AS rk
+    FROM v CROSS JOIN c1 WHERE v.vec_id < 5
+  ) WHERE rk <= {IVF_NPROBE}
+),
+cand AS (
+  SELECT p.query_id, i.neighbor_id
+  FROM probes p JOIN idx i ON p.cluster = i.cluster
+                          AND i.neighbor_id <> p.query_id
+),
+scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         round(list_cosine_similarity(qe.embedding::DOUBLE[], ne.embedding::DOUBLE[]), 6) AS cosine
+  FROM cand
+  JOIN embeddings qe ON qe.vec_id = cand.query_id
+  JOIN embeddings ne ON ne.vec_id = cand.neighbor_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id ASC) AS rk
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rk FROM ranked WHERE rk <= 10
+"""

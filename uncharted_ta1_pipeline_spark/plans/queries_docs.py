@@ -13,7 +13,13 @@ from uncharted_ta1_pipeline_spark.functions.docf import (
     token_counts,
 )
 from uncharted_ta1_pipeline_spark.operators import dedup as dd
-from uncharted_ta1_pipeline_spark.operators.similarity import ann_bruteforce, ann_lsh
+from uncharted_ta1_pipeline_spark.operators.similarity import (
+    ann_bruteforce,
+    ann_lsh,
+    ivf_assign,
+    ivf_cluster_stats,
+    ivf_topk,
+)
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -62,6 +68,22 @@ def q_ann_lsh(spark, sf_dir):
     return ann_lsh(_emb(spark, sf_dir), n_queries=5, k=10)
 
 
+def q_ivf_assign(spark, sf_dir):
+    return ivf_assign(_emb(spark, sf_dir)).withColumn(
+        "cluster", F.col("cluster").cast("long")
+    )
+
+
+def q_ivf_cluster_stats(spark, sf_dir):
+    return ivf_cluster_stats(_emb(spark, sf_dir)).withColumn(
+        "cluster", F.col("cluster").cast("long")
+    )
+
+
+def q_ivf_topk(spark, sf_dir):
+    return ivf_topk(_emb(spark, sf_dir), n_queries=5, k=10)
+
+
 def q_lang_id(spark, sf_dir):
     d = _docs(spark, sf_dir)
     return d.select(
@@ -100,6 +122,9 @@ QUERIES_DOCS = {
     "embedding_cosine_pairs": q_embedding_cosine_pairs,
     "ann_bruteforce": q_ann_bruteforce,
     "ann_lsh": q_ann_lsh,
+    "ivf_assign": q_ivf_assign,
+    "ivf_cluster_stats": q_ivf_cluster_stats,
+    "ivf_topk": q_ivf_topk,
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
     "token_count": q_token_count,

@@ -28,6 +28,8 @@ def get_spark(
 ) -> SparkSession:
     """Build (or reuse) a SparkSession with the engine's required configs."""
     if master is None:
+        master = os.environ.get("SPARK_GRAFT_MASTER")
+    if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
         master = f"local[{cpus}]"
     if shuffle_partitions is None:
@@ -56,6 +58,21 @@ def get_spark(
         # absolute (4M-turn featurize, local[4] and local[16]).
         .config("spark.sql.windowExec.buffer.in.memory.threshold", "131072")
     )
+    if master.startswith("local-cluster") or master.startswith("spark://"):
+        # true multi-executor mode: separate executor JVMs.  Executor heap
+        # must fit the worker grant (local-cluster[N,C,MB]); python workers
+        # import the engine from the --py-files artifact (built by
+        # scripts/package_pyfiles.py) instead of the driver's sys.path.
+        builder = builder.config(
+            "spark.executor.memory", os.environ.get("SPARK_GRAFT_EXEC_MEM", "7g")
+        )
+        zip_path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "dist",
+            "uncharted_ta1_pipeline_spark.zip",
+        )
+        if os.path.isfile(zip_path):
+            builder = builder.config("spark.submit.pyFiles", zip_path)
     # local-mode shuffle spill to tmpfs when available (single-node sandbox;
     # a real cluster uses executor-local disks instead)
     if os.path.isdir("/dev/shm") and os.environ.get("SPARK_GRAFT_SHM", "1") == "1":
