@@ -132,6 +132,8 @@ def main() -> None:
         )
         timings["session_stats"] = materialize(session_stats(t))
         for name, fn in QUERIES.items():
+            if name == "featurize_full":
+                continue  # already the headline timing above
             timings[f"q_{name}"] = materialize(fn(spark, args.sf_dir))
         # full operator surface, one timed run each (coverage over precision)
         for name, fn in {**QUERIES_OPS, **QUERIES_DOCS}.items():

@@ -76,3 +76,55 @@ def test_real_ppm_codec_roundtrip(spark):
         a = _decode_ppm(bytes(row.payload))
         assert a.shape == (row.out_height, row.out_width, 3)
         assert max(row.out_width, row.out_height) <= 16
+
+
+def test_real_wav_codec_roundtrip(spark):
+    """The numpy RIFF/WAV PCM16 codec is a REAL audio path: encode -> decode
+    is exact (including unknown-chunk skipping), audio_features reports true
+    signal statistics, and resample_audio halves the rate with a decodable
+    payload."""
+    import numpy as np
+
+    from uncharted_ta1_pipeline_spark.operators.multimodal import (
+        _decode_wav,
+        _encode_wav,
+        audio_features,
+        resample_audio,
+        synth_wav_media,
+    )
+
+    samples = np.array([0, 12000, -12000, 32767, -32768, 7], dtype=np.int16)
+    out, rate = _decode_wav(_encode_wav(samples, 8000))
+    assert rate == 8000 and (out == samples).all()
+    # chunk walker skips an unknown chunk (with odd-size padding) before data
+    body = (
+        b"WAVE"
+        + b"junk" + (5).to_bytes(4, "little") + b"abcde\x00"
+        + _encode_wav(samples, 8000)[12:]
+    )
+    payload = b"RIFF" + len(body).to_bytes(4, "little") + body
+    out2, rate2 = _decode_wav(payload)
+    assert rate2 == 8000 and (out2 == samples).all()
+
+    m = synth_wav_media(spark, n=20).cache()
+    feats = audio_features(m).toPandas().sort_values("media_id")
+    assert len(feats) == 20
+    pdf = m.toPandas().sort_values("media_id")
+    for (_, row), (_, f) in zip(pdf.iterrows(), feats.iterrows()):
+        s, r = _decode_wav(bytes(row.payload))
+        assert f.sample_rate == r == 8000
+        assert f.n_samples == len(s)
+        assert f.duration_ms == row.meta["duration_ms"]
+        x = s.astype(np.float64) / 32768.0
+        assert f.rms == round(float(np.sqrt(np.mean(x * x))), 6)
+        assert f.peak == 12000  # square wave amplitude
+        assert 0.0 < f.zcr < 1.0
+
+    rs = resample_audio(m, target_rate=4000).toPandas().sort_values("media_id")
+    for (_, row), (_, r) in zip(pdf.iterrows(), rs.iterrows()):
+        s_in, _ = _decode_wav(bytes(row.payload))
+        s_out, rate_out = _decode_wav(bytes(r.payload))
+        assert rate_out == 4000
+        assert len(s_out) == len(s_in) // 2
+        # nearest-neighbor: every output sample exists in the input
+        assert np.isin(s_out, s_in).all()

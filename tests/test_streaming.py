@@ -170,3 +170,36 @@ def test_running_update_timeout_removes_state():
     out2 = list(running_update(("c1",), iter([pdf]), st2))
     assert len(out2) == 1
     assert st2.updated == (8, 3) and st2.timeout_set
+
+
+def test_stream_dedup_drops_repeats(spark, tmp_path):
+    """stream_dedup: a source containing every turn TWICE (the at-least-
+    once queue residue) yields each turn exactly once; genuinely distinct
+    turns all survive."""
+    from uncharted_ta1_pipeline_spark.sources.transcripts import load_transcripts
+    from uncharted_ta1_pipeline_spark.streaming.sessions import stream_dedup
+
+    base = load_transcripts(spark, SF_SMOKE).limit(500)
+    src = str(tmp_path / "dup_src")
+    base.unionAll(base).coalesce(2).write.parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        stream_dedup(stream, watermark_s=90 * 24 * 3600)
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_dd"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "select conv_id, turn_idx from dedup_out order by conv_id, turn_idx"
+    ).toPandas()
+    want = base.select("conv_id", "turn_idx").toPandas().sort_values(
+        ["conv_id", "turn_idx"]
+    ).reset_index(drop=True)
+    assert len(got) == len(want), (len(got), len(want))
+    assert got.reset_index(drop=True).equals(want)

@@ -290,7 +290,13 @@ def featurize_salted(
     sums_src = df
     if hot_col is not None:
         sums_src = sums_src.filter(F.coalesce(F.col(hot_col), F.lit(False)))
-    w_conv = Window.partitionBy("conv_id").orderBy("ts", "turn_idx")
+    # Session-start flags WITHOUT a whole-conversation window: within-chunk
+    # gaps via a (conv, chunk)-bounded lag, and the chunk-boundary gap via
+    # the tiny per-chunk summary (head vs previous chunk's tail) — the same
+    # head-carry trick the main stream uses.  A whole-key lag here would
+    # funnel each hot conversation through ONE task (10^8-turn killer; the
+    # old shape cost ~5s of 3-task tail on the 12M-turn bench).
+    w_chunk_n = Window.partitionBy("conv_id", "_tgt").orderBy("ts", "turn_idx")
     nb = (
         sums_src.select("conv_id", "ts", "turn_idx", "tool")
         .withColumn("_us", F.unix_micros(F.col("ts")))
@@ -308,23 +314,42 @@ def featurize_salted(
                 & non_empty
             ).cast("long"),
         )
-        .withColumn("_prev_us", F.lag("_us").over(w_conv))
+        .withColumn("_prev_us", F.lag("_us").over(w_chunk_n))
         .withColumn(
-            "_is_new",
+            # chunk-interior gaps only; each chunk's head row is resolved
+            # against the previous chunk's tail at the summary level below
+            "_is_new_in",
             (
-                F.col("_prev_us").isNull()
-                | ((F.col("_us") - F.col("_prev_us")) > F.lit(gap_s * 1_000_000))
+                F.col("_prev_us").isNotNull()
+                & ((F.col("_us") - F.col("_prev_us")) > F.lit(gap_s * 1_000_000))
             ).cast("long"),
         )
     )
-    sums = nb.groupBy("conv_id", "_tgt").agg(
-        F.count(F.lit(1)).alias("_n"),
-        F.sum("_used").alias("_tools"),
-        F.sum("_first_use").alias("_firsts"),
-        F.sum("_is_new").alias("_sess"),
-        F.max(F.when(non_empty, F.struct("ts", "turn_idx", "tool"))).alias("_lt"),
-    )
     w_chain = Window.partitionBy("conv_id").orderBy("_tgt")
+    sums = (
+        nb.groupBy("conv_id", "_tgt")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum("_used").alias("_tools"),
+            F.sum("_first_use").alias("_firsts"),
+            F.sum("_is_new_in").alias("_sess_in"),
+            F.min(F.struct("ts", "turn_idx", "_us")).alias("_head"),
+            F.max(F.struct("ts", "turn_idx", "_us")).alias("_tail"),
+            F.max(F.when(non_empty, F.struct("ts", "turn_idx", "tool"))).alias("_lt"),
+        )
+        .withColumn("_prev_tail_us", F.lag("_tail._us").over(w_chain))
+        .withColumn(
+            "_head_new",
+            (
+                F.col("_prev_tail_us").isNull()
+                | (
+                    (F.col("_head._us") - F.col("_prev_tail_us"))
+                    > F.lit(gap_s * 1_000_000)
+                )
+            ).cast("long"),
+        )
+        .withColumn("_sess", F.col("_sess_in") + F.col("_head_new"))
+    )
     prior = w_chain.rowsBetween(Window.unboundedPreceding, -1)
     offsets = sums.select(
         "conv_id",

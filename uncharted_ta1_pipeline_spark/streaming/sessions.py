@@ -81,6 +81,35 @@ def running_update(key, pdfs, state: GroupState):
     )
 
 
+def stream_dedup(stream: DataFrame, watermark_s: int = 3600) -> DataFrame:
+    """Streaming exact dedup — the incremental twin of
+    ``operators.dedup.dedup_exact``: drop turns whose (conv_id, content
+    digest) was already seen within the watermark horizon.
+
+    ``dropDuplicatesWithinWatermark`` keeps the dedup state bounded: keys
+    older than the watermark are evicted, so state size tracks the event-
+    time horizon instead of the stream's full history — the only dedup
+    shape that survives an unbounded 10^12-turn feed.  (Exactly-once within
+    the horizon; re-sends beyond it are the at-least-once residue the
+    batch-layer digest dedup removes, mirroring the reference queue's
+    bounded-redelivery discipline, request_client.py:253-262.)"""
+    digest = F.sha2(
+        F.concat_ws(
+            "\x1f",
+            F.col("conv_id"),
+            F.coalesce(F.col("role"), F.lit("")),
+            F.coalesce(F.col("text"), F.lit("")),
+            F.coalesce(F.col("tool"), F.lit("")),
+        ),
+        256,
+    )
+    return (
+        stream.withColumn("digest", digest)
+        .withWatermark("ts", f"{watermark_s} seconds")
+        .dropDuplicatesWithinWatermark(["conv_id", "digest"])
+    )
+
+
 def stream_running_features(stream: DataFrame) -> DataFrame:
     """Custom stateful operator: running per-conversation counters kept in
     GroupState across micro-batches (the streaming twin of
