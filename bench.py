@@ -74,8 +74,13 @@ def main() -> None:
     # multi-executor run; set SPARK_GRAFT_CPUS to the TOTAL core count so
     # shuffle partitioning matches).  session.py resolves the env var.
     master = os.environ.get("SPARK_GRAFT_MASTER") or f"local[{cpus}]"
-    spark = get_spark(master=master,
-                      shuffle_partitions=max(int(cpus) * 2, 8))
+    # scaling runs pin SPARK_GRAFT_SHUFFLE so both cluster sizes process
+    # identical task slices (unequal partition counts would conflate task
+    # granularity with executor scaling)
+    shuffle = int(
+        os.environ.get("SPARK_GRAFT_SHUFFLE", "0")
+    ) or max(int(cpus) * 2, 8)
+    spark = get_spark(master=master, shuffle_partitions=shuffle)
 
     if args.synth:
         # materialize the deterministic synthetic input to parquet once

@@ -76,6 +76,9 @@ def run_cluster(
         SPARK_GRAFT_WARMUP=str(warmup),
         SPARK_GRAFT_DRIVER_MEM="8g",
         SPARK_GRAFT_SHM="0",
+        # identical task slices at both cluster sizes — partition count is
+        # held at 4N-cluster granularity so only executor count varies
+        SPARK_GRAFT_SHUFFLE="32",
     )
     submit = os.path.join(
         os.environ.get("SPARK_HOME", "/opt/spark"), "bin", "spark-submit"
@@ -147,14 +150,28 @@ def main() -> None:
     results: dict = {}
 
     if args.mode in ("both", "cluster"):
-        c_lo = run_cluster(1, args.turns)
-        c_hi = run_cluster(4, args.turns)
+        # interleaved repeats, min per level — same noise discipline as the
+        # single-JVM mode (host tenancy moves single-shot times +-20%)
+        c_lo = c_hi = None
+        c_lo_all, c_hi_all = [], []
+        for _ in range(max(1, args.repeats - 1)):
+            lo_r = run_cluster(1, args.turns)
+            hi_r = run_cluster(4, args.turns)
+            c_lo_all.append(lo_r["queries"]["featurize_full"])
+            c_hi_all.append(hi_r["queries"]["featurize_full"])
+            if c_lo is None or lo_r["queries"]["featurize_full"] < c_lo["queries"]["featurize_full"]:
+                c_lo = lo_r
+            if c_hi is None or hi_r["queries"]["featurize_full"] < c_hi["queries"]["featurize_full"]:
+                c_hi = hi_r
         c_eff = round(
             (c_lo["queries"]["featurize_full"] / c_hi["queries"]["featurize_full"])
             / 4.0,
             3,
         )
-        results["cluster"] = {"lo": c_lo, "hi": c_hi, "efficiency": c_eff}
+        results["cluster"] = {
+            "lo": c_lo, "hi": c_hi, "efficiency": c_eff,
+            "lo_all": c_lo_all, "hi_all": c_hi_all,
+        }
 
     if args.mode in ("both", "local"):
         def best_of(repeats: int, narrow: bool):
@@ -221,7 +238,12 @@ path).  Timing: min over 3 measured materializations after 3 unmeasured
 warmup executions per cluster size (fresh executor JVMs page-fault their
 window/shuffle buffers on first touch — ~100x native cost on this
 Firecracker host — so executions 1-2 are fault-warming; the warmup count
-is identical on both sides).
+is identical on both sides), then the MIN per level across interleaved
+fresh-cluster repeats.  Shuffle partitions are pinned to 32 at BOTH
+sizes so the task slices are identical and only executor count varies.
+Observed spread (featurize_full, seconds): 1-executor
+{sorted(round(x, 1) for x in c.get("lo_all", []))}, 4-executor
+{sorted(round(x, 1) for x in c.get("hi_all", []))}.
 
 | cluster size | featurize_full sec | throughput (turns/sec) |
 |---|---|---|

@@ -82,6 +82,12 @@ def get_spark(
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)
+    # last-wins ad-hoc overrides for bench/scaling experiments, e.g.
+    # SPARK_GRAFT_EXTRA_CONF="spark.sql.adaptive.enabled=false;spark.foo=1"
+    for kv in os.environ.get("SPARK_GRAFT_EXTRA_CONF", "").split(";"):
+        if "=" in kv:
+            k, _, v = kv.partition("=")
+            builder = builder.config(k.strip(), v.strip())
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
