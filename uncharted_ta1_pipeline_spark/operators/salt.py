@@ -165,6 +165,25 @@ def featurize_salted(
         F.coalesce(F.col(hot_col), F.lit(False)) if hot_col is not None else F.lit(True)
     )
 
+    # Global first occurrence of each tool WITHOUT an unbounded window: a
+    # (conv, tool) window group holds every use of one tool in one
+    # conversation — 10^8 rows in ONE sort task for a single-tool hot
+    # conversation.  Instead: hot conversations resolve their global first
+    # via a map-side-combined min-aggregate broadcast back as a tiny dim
+    # (|hot| x vocabulary rows — broadcastable at any corpus size for the
+    # same reason the hot flag is); cold conversations keep the window but
+    # keyed by (conv, tool, _chunk), whose groups the router bounds.
+    hot_src = (
+        df
+        if hot_col is None
+        else df.filter(F.coalesce(F.col(hot_col), F.lit(False)))
+    )
+    firsts = (
+        hot_src.filter(non_empty)
+        .groupBy("conv_id", "tool")
+        .agg(F.min(F.struct("ts", "turn_idx")).alias("_fp"))
+    )
+
     base = (
         df.withColumn("_us", F.unix_micros(F.col("ts")))
         .withColumn(
@@ -172,21 +191,24 @@ def featurize_salted(
             F.when(hot, F.floor(F.col("turn_idx") / F.lit(cs))).otherwise(F.lit(0)),
         )
         .withColumn("_used", non_empty.cast("long"))
+        .join(F.broadcast(firsts), on=["conv_id", "tool"], how="left")
         .withColumn(
-            # global first occurrence of each tool: partitioned by
-            # (conv, tool), so a hot conversation splits across its tool
-            # vocabulary; per-row work is a single row_number.
             "_first_use",
             (
-                (
+                F.when(
+                    hot, F.struct("ts", "turn_idx") == F.col("_fp")
+                ).otherwise(
                     F.row_number().over(
-                        Window.partitionBy("conv_id", "tool").orderBy("ts", "turn_idx")
+                        Window.partitionBy("conv_id", "tool", "_chunk").orderBy(
+                            "ts", "turn_idx"
+                        )
                     )
                     == 1
                 )
                 & non_empty
             ).cast("long"),
         )
+        .drop("_fp")
     )
 
     # ---- arithmetic carry routing (≈ tile overlap) --------------------------
@@ -302,18 +324,14 @@ def featurize_salted(
         .withColumn("_us", F.unix_micros(F.col("ts")))
         .withColumn("_tgt", F.floor(F.col("turn_idx") / F.lit(cs)))
         .withColumn("_used", non_empty.cast("long"))
+        # sums_src is the hot slice, so every row resolves its global
+        # first-use against the broadcast dim — no window needed here
+        .join(F.broadcast(firsts), on=["conv_id", "tool"], how="left")
         .withColumn(
             "_first_use",
-            (
-                (
-                    F.row_number().over(
-                        Window.partitionBy("conv_id", "tool").orderBy("ts", "turn_idx")
-                    )
-                    == 1
-                )
-                & non_empty
-            ).cast("long"),
+            ((F.struct("ts", "turn_idx") == F.col("_fp")) & non_empty).cast("long"),
         )
+        .drop("_fp")
         .withColumn("_prev_us", F.lag("_us").over(w_chunk_n))
         .withColumn(
             # chunk-interior gaps only; each chunk's head row is resolved
