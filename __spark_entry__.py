@@ -58,36 +58,42 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries at the tail.  Rotate tier 3 each round so every operator family
 # keeps fresh driver evidence.
 _PRIORITY = [
-    # tier 1 — new or changed this round
-    "asof_fit_predict",     # -0.0 sign-normalization fix (the only red r02 row)
-    "eval_deciles",         # distributed histogram-ntile rewrite
-    "color_level",          # integer-quantized variance rewrite
-    "featurize_full",       # single-pass hot/cold routing
-    "simhash_pairs",        # NEW: bit-band hamming pairs
-    "geodesic_scale",       # NEW: scalar pandas_udf surface
-    "median_mad",           # NEW: grouped-agg pandas_udf surface
-    "point_geocoder",       # NEW: composed prune+centroid-rank+topk
-    "datum_shift",          # NEW: scalar pandas_udf after a join
-    "scoring_output",       # NEW: ScoringOutput creator (extended fields)
-    "summary_output",       # NEW: SummaryOutput creator (per-source strings)
-    "ivf_assign",           # NEW r3b: IVF coarse-quantizer assignment
-    "ivf_topk",             # NEW r3b: IVF nprobe top-k search
-    "ivf_cluster_stats",    # NEW r3b: IVF codebook occupancy telemetry
-    "ann_lsh",              # rewritten after r01; n_planes 4 -> 8 this round
-    # tier 2 — no CORRECTNESS_r02 row (driver cap), re-evidence now
-    "simhash",
-    "embedding_cosine_pairs",
-    "ann_bruteforce",
-    "lang_id",
-    "quality_score",
-    "token_count",
-    "doc_fingerprint",
+    # tier 1 — new or changed this round (r4)
+    "asof_fit_predict_bucketed",  # NEW: chunk-bounded stats + bucketed as-of
+    "simhash",              # 64-bit production width (was 16-bit)
+    "simhash_pairs",        # 4x16-bit bands over the 64-bit signature
+    "ivf_assign",           # min_by partial-agg rewrite (was window)
+    "ivf_topk",             # min_by partial-agg rewrite
+    "ivf_cluster_stats",    # downstream of the min_by rewrite
+    "featurize_full",       # routing re-measured after r3 regression
+    # tier 2 — rowless since r01/r02 (driver 50-row cap): rotate in, per
+    # the rotation policy's promise (VERDICT r3 #4)
+    "asof_features_bucketed",
+    "minhash_lsh_pairs",
+    "minhash_signature",
+    "ngram_jaccard_pairs",
+    "dedup_exact",
+    "halt_predicate",
+    "ingest_ordered",
+    "sessionize",
+    "lag_lead",
+    "cumulative",
+    "rolling",
+    "ffill_tool",
+    "session_stats",
+    "conv_turn_rate",
+    "text_filter",
+    "argmax_source_filter",
+    "range_filter_readd",
+    "token_budget_filter",
 ]
-# tier 3 tail — double-green in r01+r02, unchanged, pytest-covered
+# tier 3 tail — green r03 driver row AND pytest-covered, unchanged this
+# round: safe to rotate out under the 50-row cap
 _TAIL = [
-    "ingest_ordered", "sessionize", "lag_lead", "cumulative", "rolling",
-    "ffill_tool", "session_stats", "conv_turn_rate", "text_filter",
-    "argmax_source_filter", "range_filter_readd", "token_budget_filter",
+    "asof_fit_predict", "eval_deciles", "color_level", "geodesic_scale",
+    "median_mad", "point_geocoder", "datum_shift", "scoring_output",
+    "summary_output", "ann_lsh", "embedding_cosine_pairs", "ann_bruteforce",
+    "lang_id", "quality_score", "token_count", "doc_fingerprint",
 ]
 
 

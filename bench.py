@@ -1,4 +1,10 @@
-"""Benchmark harness — prints ONE JSON line.
+"""Benchmark harness — prints ONE SHORT JSON line (the driver tail-captures
+only the last ~2000 chars of stdout, which is how the r3 headline was lost:
+73 per-query timings pushed the line past the buffer and ``parsed`` came back
+null).  The full per-query timing dict is written to
+``BENCH/bench_full_latest.json``; the printed line keeps the headline metric
+plus the slowest queries that fit a hard 1800-byte budget (see
+``compact_result``, pinned by ``tests/test_bench_output.py``).
 
 Headline queries at ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
 ``local[$SPARK_GRAFT_CPUS]``.  The primary metric is end-to-end feature
@@ -40,6 +46,31 @@ def materialize(df, warmup: int = 2, runs: int = 3) -> float:
         df.write.format("noop").mode("overwrite").save()
         best = min(best, time.time() - t0)
     return best
+
+
+def compact_result(result: dict, budget: int = 1800) -> str:
+    """Serialize ``result`` to one JSON line guaranteed ≤ ``budget`` bytes.
+
+    Queries are ordered slowest-first and dropped from the tail until the
+    line fits; ``queries_total`` always records how many were timed and
+    ``queries_file`` points at the full dict on disk, so truncation is
+    explicit rather than silent.
+    """
+    ordered = sorted(
+        result.get("queries", {}).items(), key=lambda kv: -kv[1]
+    )
+    out = dict(result)
+    out["queries_total"] = len(ordered)
+    keep = len(ordered)
+    while keep >= 0:
+        out["queries"] = dict(ordered[:keep])
+        line = json.dumps(out)
+        if len(line) <= budget:
+            return line
+        keep -= max(1, keep // 10)
+    # headline alone should always fit; last resort strips queries entirely
+    out["queries"] = {}
+    return json.dumps(out)
 
 
 def main() -> None:
@@ -158,7 +189,18 @@ def main() -> None:
         "cpus": int(cpus),
     }
     spark.stop()
-    print(json.dumps(result))
+    # full record to disk (committed with the repo), short line to stdout —
+    # the driver's 2000-char tail capture must contain the whole line
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "BENCH", "bench_full_latest.json")
+    try:
+        with open(full_path, "w") as f:
+            json.dump(result, f, indent=1)
+        result["queries_file"] = "BENCH/bench_full_latest.json"
+    except OSError:
+        pass
+    print(compact_result(result))
 
 
 if __name__ == "__main__":

@@ -56,7 +56,9 @@ def run_local(cpus: int, turns: int, runs: int = 5, narrow: bool = False) -> dic
 
 
 def run_cluster(
-    n_exec: int, turns: int, runs: int = 3, warmup: int = 3
+    n_exec: int, turns: int, runs: int = 3, warmup: int = 3,
+    cores: int = EXEC_CORES, mem_mb: int = EXEC_MEM_MB,
+    shuffle: int = 32, java_opts: str = "",
 ) -> dict:
     """One bench.py run under spark-submit on a local-cluster master.
 
@@ -67,18 +69,18 @@ def run_cluster(
     first 1-2 executions are fault-warming, not steady state — identical
     warmup count on both cluster sizes keeps the comparison fair.
     """
-    master = f"local-cluster[{n_exec},{EXEC_CORES},{EXEC_MEM_MB}]"
+    master = f"local-cluster[{n_exec},{cores},{mem_mb}]"
     zip_path = os.path.join(REPO, "dist", "uncharted_ta1_pipeline_spark.zip")
     env = dict(
         os.environ,
         SPARK_GRAFT_MASTER=master,
-        SPARK_GRAFT_CPUS=str(n_exec * EXEC_CORES),
+        SPARK_GRAFT_CPUS=str(n_exec * cores),
         SPARK_GRAFT_WARMUP=str(warmup),
         SPARK_GRAFT_DRIVER_MEM="8g",
         SPARK_GRAFT_SHM="0",
         # identical task slices at both cluster sizes — partition count is
-        # held at 4N-cluster granularity so only executor count varies
-        SPARK_GRAFT_SHUFFLE="32",
+        # held at big-cluster granularity so only executor count varies
+        SPARK_GRAFT_SHUFFLE=str(shuffle),
     )
     submit = os.path.join(
         os.environ.get("SPARK_HOME", "/opt/spark"), "bin", "spark-submit"
@@ -89,6 +91,10 @@ def run_cluster(
         master,
         "--driver-memory",
         "8g",
+    ]
+    if java_opts:
+        cmd += ["--conf", f"spark.executor.extraJavaOptions={java_opts}"]
+    cmd += [
         "--py-files",
         zip_path,
         os.path.join(REPO, "bench.py"),
@@ -131,9 +137,25 @@ def cpu_control(n: int, xn: int) -> tuple[float, float]:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--turns", type=int, default=8_000_000)
-    ap.add_argument("--n", type=int, default=4)
-    ap.add_argument("--xn", type=int, default=16)
+    ap.add_argument("--n", type=int, default=4,
+                    help="single-JVM (local) mode: thread count at the low "
+                    "level; ignored in cluster mode (use --exec-lo)")
+    ap.add_argument("--xn", type=int, default=16,
+                    help="single-JVM (local) mode: thread count at the high "
+                    "level; ignored in cluster mode (use --exec-hi)")
     ap.add_argument("--mode", choices=["both", "cluster", "local"], default="both")
+    ap.add_argument("--exec-lo", type=int, default=1,
+                    help="cluster mode: executor count at the low level")
+    ap.add_argument("--exec-hi", type=int, default=4,
+                    help="cluster mode: executor count at the high level "
+                    "(efficiency normalizes by exec-hi/exec-lo)")
+    ap.add_argument("--exec-cores", type=int, default=EXEC_CORES,
+                    help="cluster mode: cores per executor JVM")
+    ap.add_argument("--exec-mem", type=int, default=EXEC_MEM_MB,
+                    help="cluster mode: MiB per executor JVM")
+    ap.add_argument("--java-opts", default="",
+                    help="cluster mode: spark.executor.extraJavaOptions, "
+                    "e.g. '-XX:+AlwaysPreTouch'")
     ap.add_argument("--repeats", type=int, default=3,
                     help="interleaved (lo, hi) process repeats for the "
                     "single-JVM mode; the page-cache/host state on this VM "
@@ -154,9 +176,12 @@ def main() -> None:
         # single-JVM mode (host tenancy moves single-shot times +-20%)
         c_lo = c_hi = None
         c_lo_all, c_hi_all = [], []
+        ck = dict(cores=args.exec_cores, mem_mb=args.exec_mem,
+                  shuffle=max(32, args.exec_hi * args.exec_cores * 2),
+                  java_opts=args.java_opts)
         for _ in range(max(1, args.repeats - 1)):
-            lo_r = run_cluster(1, args.turns)
-            hi_r = run_cluster(4, args.turns)
+            lo_r = run_cluster(args.exec_lo, args.turns, **ck)
+            hi_r = run_cluster(args.exec_hi, args.turns, **ck)
             c_lo_all.append(lo_r["queries"]["featurize_full"])
             c_hi_all.append(hi_r["queries"]["featurize_full"])
             if c_lo is None or lo_r["queries"]["featurize_full"] < c_lo["queries"]["featurize_full"]:
@@ -165,12 +190,15 @@ def main() -> None:
                 c_hi = hi_r
         c_eff = round(
             (c_lo["queries"]["featurize_full"] / c_hi["queries"]["featurize_full"])
-            / 4.0,
+            / (args.exec_hi / args.exec_lo),
             3,
         )
         results["cluster"] = {
             "lo": c_lo, "hi": c_hi, "efficiency": c_eff,
             "lo_all": c_lo_all, "hi_all": c_hi_all,
+            "shape": {"exec_lo": args.exec_lo, "exec_hi": args.exec_hi,
+                      "cores": args.exec_cores, "mem_mb": args.exec_mem,
+                      "java_opts": args.java_opts},
         }
 
     if args.mode in ("both", "local"):
@@ -201,10 +229,13 @@ def main() -> None:
         }
 
     write_report(args, results)
-    headline = (
-        results.get("cluster", {}).get("efficiency")
-        or results["local"]["efficiency"]["featurize_full"]
-    )
+    # branch on key presence, not truthiness: a degenerate 0.0 cluster
+    # efficiency is still the cluster-mode answer, not a cue to read a
+    # 'local' result that may not exist (ADVICE r3)
+    if "cluster" in results:
+        headline = results["cluster"]["efficiency"]
+    else:
+        headline = results["local"]["efficiency"]["featurize_full"]
     print(json.dumps({
         "headline_efficiency": headline,
         "cluster": results.get("cluster", {}).get("efficiency"),
@@ -220,38 +251,48 @@ def write_report(args, results: dict) -> None:
 
     if "cluster" in results:
         c = results["cluster"]
+        sh = c.get("shape", {"exec_lo": 1, "exec_hi": 4,
+                             "cores": EXEC_CORES, "mem_mb": EXEC_MEM_MB,
+                             "java_opts": ""})
         lo_t = c["lo"]["queries"]["featurize_full"]
         hi_t = c["hi"]["queries"]["featurize_full"]
+        ratio = sh["exec_hi"] / sh["exec_lo"]
+        jopts = (f"  Executor JVM options: `{sh['java_opts']}`.\n"
+                 if sh.get("java_opts") else "")
         parts.append(f"""
-## Headline: N vs 4N executors (multi-executor, spark-submit --py-files)
+## Headline: N vs {ratio:.0f}N executors (multi-executor, spark-submit --py-files)
 
 North rule: throughput scaling efficiency >= 0.8 from N to 4N
 **executors**.  The job runs via `spark-submit --py-files
 dist/uncharted_ta1_pipeline_spark.zip` (built by
-`scripts/package_pyfiles.py`) on `local-cluster[1,4,{EXEC_MEM_MB}]` vs
-`local-cluster[4,4,{EXEC_MEM_MB}]`: 1 executor JVM vs 4 executor JVMs of
-identical size (4 cores / 8 GiB each) — real separate JVM processes with
-their own page tables and shuffle servers, the same process topology as a
-multi-executor cluster.  Input: {c["lo"]["n_turns"]:,} deterministic
+`scripts/package_pyfiles.py`) on
+`local-cluster[{sh["exec_lo"]},{sh["cores"]},{sh["mem_mb"]}]` vs
+`local-cluster[{sh["exec_hi"]},{sh["cores"]},{sh["mem_mb"]}]`:
+{sh["exec_lo"]} executor JVM(s) vs {sh["exec_hi"]} executor JVMs of
+identical size ({sh["cores"]} cores / {sh["mem_mb"]} MiB each) — real
+separate JVM processes with their own page tables and shuffle servers,
+the same process topology as a multi-executor cluster.
+{jopts}Input: {c["lo"]["n_turns"]:,} deterministic
 synthetic turns (heavy-tailed, 3 hot conversations exercising the salted
 path).  Timing: min over 3 measured materializations after 3 unmeasured
 warmup executions per cluster size (fresh executor JVMs page-fault their
 window/shuffle buffers on first touch — ~100x native cost on this
 Firecracker host — so executions 1-2 are fault-warming; the warmup count
 is identical on both sides), then the MIN per level across interleaved
-fresh-cluster repeats.  Shuffle partitions are pinned to 32 at BOTH
-sizes so the task slices are identical and only executor count varies.
-Observed spread (featurize_full, seconds): 1-executor
-{sorted(round(x, 1) for x in c.get("lo_all", []))}, 4-executor
-{sorted(round(x, 1) for x in c.get("hi_all", []))}.
+fresh-cluster repeats.  Shuffle partitions are pinned identically at
+BOTH sizes so the task slices are identical and only executor count
+varies.  Observed spread (featurize_full, seconds):
+{sh["exec_lo"]}-executor {sorted(round(x, 1) for x in c.get("lo_all", []))},
+{sh["exec_hi"]}-executor {sorted(round(x, 1) for x in c.get("hi_all", []))}.
 
 | cluster size | featurize_full sec | throughput (turns/sec) |
 |---|---|---|
-| 1 executor x 4 cores | {lo_t:.2f} | {c["lo"]["n_turns"] / lo_t:,.0f} |
-| 4 executors x 4 cores | {hi_t:.2f} | {c["lo"]["n_turns"] / hi_t:,.0f} |
+| {sh["exec_lo"]} executor(s) x {sh["cores"]} cores | {lo_t:.2f} | {c["lo"]["n_turns"] / lo_t:,.0f} |
+| {sh["exec_hi"]} executors x {sh["cores"]} cores | {hi_t:.2f} | {c["lo"]["n_turns"] / hi_t:,.0f} |
 
-**Scaling efficiency 1 -> 4 executors: {c["efficiency"]:.3f}**
-(speedup {lo_t / hi_t:.2f}x at 4x executors).
+**Scaling efficiency {sh["exec_lo"]} -> {sh["exec_hi"]} executors:
+{c["efficiency"]:.3f}** (speedup {lo_t / hi_t:.2f}x at {ratio:.0f}x
+executors).
 """)
 
     if "local" in results:

@@ -32,3 +32,57 @@ def test_bucketed_asof_equals_plain(spark):
     a = plain.sort_values(key).reset_index(drop=True)
     b = bucketed.sort_values(key).reset_index(drop=True)[a.columns]
     pd.testing.assert_frame_equal(a, b, check_like=True)
+
+
+def test_bucketed_fit_predict_equals_plain(spark):
+    """fit_predict_at_probes(strategy='bucketed') — chunk-bounded
+    sufficient statistics + time-bucketed as-of — must equal the plain
+    whole-key-window path frame-for-frame, with chunk/bucket sizes small
+    enough that every conversation spans many chunks AND many time buckets
+    (cross-chunk offset carry and cross-bucket state carry both exercised)."""
+    from uncharted_ta1_pipeline_spark.operators.asof import fit_predict_at_probes
+    from uncharted_ta1_pipeline_spark.sources.transcripts import (
+        load_transcripts,
+        make_probes,
+    )
+
+    t = load_transcripts(spark, SF_CORRECT)
+    probes = make_probes(t)
+    plain = fit_predict_at_probes(probes, t).toPandas()
+    bucketed = fit_predict_at_probes(
+        probes, t, strategy="bucketed", chunk_size=7, bucket_s=3600
+    ).toPandas()
+    a = plain.sort_values("probe_id").reset_index(drop=True)
+    b = bucketed.sort_values("probe_id").reset_index(drop=True)[a.columns]
+    pd.testing.assert_frame_equal(a, b, check_like=True)
+
+
+def test_bucketed_fit_predict_no_whole_key_window(spark):
+    """The scale property itself: every window in the bucketed plan is
+    partitioned by (key, chunk) or (key, bucket) or runs over one-row-per-
+    chunk streams — no windowspecdefinition partitioned by conv_id alone
+    over the full stream.  (The plain path has two; VERDICT r3 #3.)"""
+    from uncharted_ta1_pipeline_spark.operators.asof import fit_predict_at_probes
+    from uncharted_ta1_pipeline_spark.sources.transcripts import (
+        load_transcripts,
+        make_probes,
+    )
+
+    t = load_transcripts(spark, SF_CORRECT)
+    df = fit_predict_at_probes(make_probes(t), t, strategy="bucketed")
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    import re
+
+    # windows partitioned by conv_id ALONE (whole-key): allowed only for
+    # the tiny per-chunk / per-bucket chained streams, which operate on
+    # one-row-per-chunk aggregates; those partition by conv_id and order
+    # by _bchunk/_bkt.  A whole-key window over the raw stream orders by
+    # ts/turn_idx — assert none exists.
+    bad = [
+        m for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan)
+        if "conv_id" in m.group(1)
+        and "_bchunk" not in m.group(1)
+        and "_bkt" not in m.group(1)
+        and ("ts" in m.group(1) or "turn_idx" in m.group(1))
+    ]
+    assert not bad, [m.group(0) for m in bad]

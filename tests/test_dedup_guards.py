@@ -45,7 +45,8 @@ def test_simhash_pairs_exact_and_capped(spark):
     import itertools
 
     from uncharted_ta1_pipeline_spark.operators.dedup import (
-        simhash16,
+        SIMHASH_BANDS,
+        simhash64,
         simhash_pairs,
     )
 
@@ -60,7 +61,13 @@ def test_simhash_pairs_exact_and_capped(spark):
         ],
         "doc_id long, text string",
     )
-    sig = {r.doc_id: r.simhash for r in simhash16(docs).collect()}
+    # 64-bit signatures reconstructed from the hex form — the pigeonhole
+    # recall property (d <= 3 over 4 bands) must hold at production width
+    sig = {
+        r.doc_id: int(r.simhash_hex, 16) for r in simhash64(docs).collect()
+    }
+    assert all(0 <= s < (1 << 64) for s in sig.values())
+    assert SIMHASH_BANDS == 4
     naive = {
         (a, b)
         for a, b in itertools.combinations(sorted(sig), 2)
@@ -68,6 +75,9 @@ def test_simhash_pairs_exact_and_capped(spark):
     }
     got = {(r.doc_a, r.doc_b) for r in simhash_pairs(docs).collect()}
     assert got == naive, f"band construction lost/invented pairs: {got ^ naive}"
+    # and the exact hamming values agree with the 64-bit xor popcount
+    for r in simhash_pairs(docs).collect():
+        assert r.hamming == bin(sig[r.doc_a] ^ sig[r.doc_b]).count("1")
 
     # degenerate bucket: hundreds of identical docs share every band value
     same = spark.range(1000, 1300).select(

@@ -66,3 +66,17 @@ def test_ivf_cluster_cap_bounds_candidates(spark):
     out = ivf_topk(_emb(spark), n_queries=5, k=10, max_cluster=1).toPandas()
     per_q = out.groupby("query_id").size()
     assert (per_q <= 4).all(), per_q
+
+
+def test_ivf_assign_uses_partial_agg_not_window(spark):
+    """The nearest-centroid argmin must be a min_by aggregate (map-side
+    partial combine of the N x k expanded rows), not a row_number window
+    that shuffles the whole expanded stream (VERDICT r3 #4)."""
+    from uncharted_ta1_pipeline_spark.operators.similarity import ivf_assign
+
+    df = ivf_assign(_emb(spark))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "partial_min_by" in plan, plan[:3000]
+    # no row_number window partitioned on the vector id anywhere (the only
+    # remaining Window is the k-row codebook seed ranking, which is fine)
+    assert "windowspecdefinition(vec_id" not in plan, plan[:3000]

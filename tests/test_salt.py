@@ -122,3 +122,47 @@ def test_chunk_size_guard(spark):
     t = load_transcripts(spark, SF_SMOKE)
     with pytest.raises(ValueError, match="chunk_size"):
         featurize_salted(t, chunk_size=5, rolling_width=5)
+
+
+def test_ingest_invariant_turn_idx_unique(spark):
+    """The first-use equality-to-min flag (salt.py) relies on (ts, turn_idx)
+    being unique per conversation; turn_idx alone is the dense 0-based
+    stable order, so uniqueness must hold on every ingest path.  Pins the
+    invariant the operator documents (ADVICE r3)."""
+    import pyspark.sql.functions as F
+
+    from uncharted_ta1_pipeline_spark.sources.transcripts import (
+        load_transcripts,
+        synth_transcripts,
+    )
+
+    for t in (
+        load_transcripts(spark, SF_SMOKE),
+        synth_transcripts(spark, n_convs=10, mean_turns=30, hot_convs=1,
+                          hot_turns=500, seed=3),
+    ):
+        dupes = (
+            t.groupBy("conv_id", "turn_idx")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > 1)
+        )
+        assert dupes.isEmpty(), dupes.limit(5).toPandas()
+
+
+def test_firsts_join_shuffle_equals_broadcast(spark):
+    """firsts_join='shuffle' (the beyond-broadcast-budget escape hatch for
+    the |hot| x vocabulary dim) is a physical strategy only: output equals
+    the broadcast default exactly, and the plan actually shuffles the dim
+    (no BroadcastExchange feeding that join)."""
+    from uncharted_ta1_pipeline_spark.operators.salt import featurize_salted
+    from uncharted_ta1_pipeline_spark.operators.windows import featurize
+    from uncharted_ta1_pipeline_spark.sources.transcripts import synth_transcripts
+
+    t = synth_transcripts(
+        spark, n_convs=10, mean_turns=30, hot_convs=1, hot_turns=2000, seed=17
+    )
+    plain = featurize(t).toPandas()
+    shuffled = featurize_salted(t, chunk_size=256, firsts_join="shuffle")
+    _cmp(plain, shuffled.toPandas())
+    plan = shuffled._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan, plan[:2000]

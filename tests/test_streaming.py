@@ -179,7 +179,17 @@ def test_stream_dedup_drops_repeats(spark, tmp_path):
     from uncharted_ta1_pipeline_spark.sources.transcripts import load_transcripts
     from uncharted_ta1_pipeline_spark.streaming.sessions import stream_dedup
 
-    base = load_transcripts(spark, SF_SMOKE).limit(500)
+    import pyspark.sql.functions as F
+
+    base0 = load_transcripts(spark, SF_SMOKE).limit(500)
+    # adversarial rows: same (conv_id, role, text, tool) at a LATER ts —
+    # genuinely distinct turns (a user sending the same "ok" twice) that a
+    # content-only digest would wrongly collapse (ADVICE r3).  They carry
+    # fresh turn_idx values so the expected-set comparison stays exact.
+    repeats = base0.limit(20).withColumn(
+        "ts", F.col("ts") + F.expr("interval 5 minutes")
+    ).withColumn("turn_idx", F.col("turn_idx") + F.lit(1_000_000))
+    base = base0.unionAll(repeats)
     src = str(tmp_path / "dup_src")
     base.unionAll(base).coalesce(2).write.parquet(src)
 

@@ -227,6 +227,119 @@ def regression_state(
     )
 
 
+def regression_state_bucketed(
+    df: DataFrame,
+    key: str = "conv_id",
+    ts: str = "ts",
+    y_col: str = "signal",
+    tiebreak: str = "turn_idx",
+    chunk_size: int = 16_384,
+) -> DataFrame:
+    """Chunk-bounded physical strategy for ``regression_state`` — same
+    output bit-for-bit (integer sufficient statistics are exact under any
+    regrouping), but NO whole-key window anywhere: a 10^8-turn conversation
+    is processed in ``chunk_size``-row slices instead of one task.
+
+    The ``salt.py`` offset pattern (salt.py:346-380): within-chunk
+    cumulative sums over (key, chunk) + per-chunk totals from a NARROW
+    column-pruned re-derivation, chained into exclusive cross-chunk offsets
+    by a tiny one-row-per-chunk window.  Chunks are ``floor(tiebreak /
+    chunk_size)`` — valid because ``tiebreak`` (turn_idx) is the dense
+    stable order aligned with (ts, tiebreak), the ingest invariant.
+
+    Physical plan: ONE full shuffle of the stream on (key, chunk) (the
+    offsets join reuses the window's clustering), plus a narrow re-scan
+    whose aggregations are map-side combined.  The offsets dim has one row
+    per (key, chunk) — NOT broadcast (unlike salt.py's hot-only dim it
+    covers every key), it is a shuffled join against tiny data."""
+    us_expr = F.unix_micros(F.col(ts))
+    narrow = (
+        df.select(key, ts, tiebreak, y_col)
+        .withColumn("_us", us_expr)
+        .withColumn("_bchunk", F.floor(F.col(tiebreak) / F.lit(chunk_size)))
+    )
+    # pass 1 (narrow): per-(key, chunk) min-us -> per-key first_us by a
+    # one-row-per-chunk window (never a whole-key row window)
+    w_key_chunks = Window.partitionBy(key).orderBy("_bchunk")
+    cmins = (
+        narrow.groupBy(key, "_bchunk")
+        .agg(F.min("_us").alias("_cmin"))
+        .withColumn(
+            "first_us",
+            F.min("_cmin").over(
+                w_key_chunks.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    # turn_idx order is aligned with ts order, so the running min IS the
+    # global min for every chunk; keep (key, chunk, first_us)
+    firsts = cmins.select(key, "_bchunk", "first_us")
+
+    # pass 2 (narrow): per-chunk integer totals of the x/y products (x
+    # needs first_us, joined on (key, chunk) so the narrow stream is
+    # shuffled once on the same clustering)
+    with_x = (
+        narrow.join(firsts, on=[key, "_bchunk"])
+        .withColumn(
+            "_x", F.floor((F.col("_us") - F.col("first_us")) / F.lit(1_000_000)).cast("long")
+        )
+        .withColumn(
+            "_yc", F.floor(F.col(y_col) * 100 + F.lit(0.5)).cast("long")
+        )
+    )
+    totals = with_x.groupBy(key, "_bchunk").agg(
+        F.count(F.lit(1)).alias("_tn"),
+        F.sum("_x").alias("_tsx"),
+        F.sum("_yc").alias("_tsy"),
+        F.sum(F.col("_x") * F.col("_yc")).alias("_tsxy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_tsxx"),
+    )
+    prior = w_key_chunks.rowsBetween(Window.unboundedPreceding, -1)
+    z = F.lit(0).cast("long")
+    offsets = totals.join(firsts, on=[key, "_bchunk"]).select(
+        key,
+        "_bchunk",
+        "first_us",
+        F.coalesce(F.sum("_tn").over(prior), z).alias("_off_n"),
+        F.coalesce(F.sum("_tsx").over(prior), z).alias("_off_sx"),
+        F.coalesce(F.sum("_tsy").over(prior), z).alias("_off_sy"),
+        F.coalesce(F.sum("_tsxy").over(prior), z).alias("_off_sxy"),
+        F.coalesce(F.sum("_tsxx").over(prior), z).alias("_off_sxx"),
+    )
+
+    # main pass: offsets join + within-chunk cumulative window share ONE
+    # (key, chunk) clustering
+    w_in = (
+        Window.partitionBy(key, "_bchunk")
+        .orderBy(ts, tiebreak)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        narrow.join(offsets, on=[key, "_bchunk"])
+        .withColumn(
+            "_x", F.floor((F.col("_us") - F.col("first_us")) / F.lit(1_000_000)).cast("long")
+        )
+        .withColumn(
+            "_yc", F.floor(F.col(y_col) * 100 + F.lit(0.5)).cast("long")
+        )
+        .select(
+            key,
+            ts,
+            tiebreak,
+            "first_us",
+            (F.count(F.lit(1)).over(w_in) + F.col("_off_n")).alias("n_obs"),
+            (F.sum("_x").over(w_in) + F.col("_off_sx")).alias("sx"),
+            (F.sum("_yc").over(w_in) + F.col("_off_sy")).alias("sy"),
+            (F.sum(F.col("_x") * F.col("_yc")).over(w_in) + F.col("_off_sxy")).alias(
+                "sxy"
+            ),
+            (F.sum(F.col("_x") * F.col("_x")).over(w_in) + F.col("_off_sxx")).alias(
+                "sxx"
+            ),
+        )
+    )
+
+
 def fit_predict_at_probes(
     probes: DataFrame,
     observations: DataFrame,
@@ -235,6 +348,9 @@ def fit_predict_at_probes(
     obs_ts: str = "ts",
     y_col: str = "signal",
     tiebreak: str = "turn_idx",
+    strategy: str = "plain",
+    chunk_size: int = 16_384,
+    bucket_s: int = 86_400,
 ) -> DataFrame:
     """For each probe, fit y ~ seconds-since-first-turn on observations with
     ``ts <= probe_ts`` ONLY and evaluate the fit at the probe timestamp.
@@ -247,9 +363,25 @@ def fit_predict_at_probes(
     (geo_projection.py:52-115).  Zero temporal leakage by construction:
     the state the probe sees ends strictly at the last turn with
     ts <= probe_ts (the poison test perturbs future turns and asserts
-    predictions are unchanged)."""
-    state = regression_state(observations, key, obs_ts, y_col, tiebreak)
-    joined = asof_join(
+    predictions are unchanged).
+
+    ``strategy``: ``"plain"`` uses whole-key windows + the plain as-of
+    join; ``"bucketed"`` (the 100x-scale path) chains chunk-bounded
+    sufficient statistics (``regression_state_bucketed``) into the
+    time-bucketed as-of join — no whole-key window anywhere in the plan.
+    Identical output (equivalence asserted in tests/test_asof_equivalence.py)."""
+    if strategy == "plain":
+        state = regression_state(observations, key, obs_ts, y_col, tiebreak)
+    elif strategy == "bucketed":
+        state = regression_state_bucketed(
+            observations, key, obs_ts, y_col, tiebreak, chunk_size=chunk_size
+        )
+    else:
+        raise ValueError(f"strategy must be plain|bucketed: {strategy}")
+    join_fn = asof_join if strategy == "plain" else (
+        lambda *a, **kw: asof_join_bucketed(*a, bucket_s=bucket_s, **kw)
+    )
+    joined = join_fn(
         probes,
         state,
         key=key,

@@ -212,25 +212,52 @@ def ngram_jaccard_pairs(
 HEX = "0123456789abcdef"
 
 
-def simhash16(docs: DataFrame) -> DataFrame:
-    """16-bit SimHash over word tokens.
+def _simhash_votes(docs: DataFrame, n_bits: int) -> DataFrame:
+    """Per-document bit-vote sums for an ``n_bits``-wide SimHash.
 
-    Each token votes its md5's first 4 hex nibbles (16 bits); a signature
-    bit is 1 when the sum of votes is positive.  Nibble -> int is done with
-    strpos over a hex alphabet so Spark and DuckDB agree exactly."""
+    Each token votes the first ``n_bits/4`` hex nibbles of its md5; a
+    signature bit is 1 when the sum of votes is positive.  Nibble -> int is
+    done with strpos over a hex alphabet so Spark and DuckDB agree exactly.
+    One md5 per token feeds every bit; the groupBy map-side-combines, so
+    the shuffle carries one row per (doc, ``n_bits`` sums)."""
     toks = docs.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("_tok")
-    ).withColumn("_h4", F.substring(F.md5(F.col("_tok")), 1, 4))
+    ).withColumn("_hx", F.substring(F.md5(F.col("_tok")), 1, n_bits // 4))
     votes = []
-    for i in range(16):
-        j = i // 4 + 1  # hex char position 1..4
+    for i in range(n_bits):
+        j = i // 4 + 1  # hex char position
         k = 3 - (i % 4)  # bit within nibble, MSB first
-        nib = F.position(F.substring(F.col("_h4"), j, 1), F.lit(HEX)) - 1
+        nib = F.position(F.substring(F.col("_hx"), j, 1), F.lit(HEX)) - 1
         bit = F.floor(nib / (2**k)) % 2
         votes.append(
             F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"_v{i}")
         )
-    g = toks.groupBy("doc_id").agg(*votes)
+    return toks.groupBy("doc_id").agg(*votes)
+
+
+def _band_exprs(n_bits: int, band_bits: int) -> list:
+    """Band-int columns from vote columns: band ``b`` packs bits
+    [b*band_bits, (b+1)*band_bits) little-endian.  Band ints (<= 2^16)
+    stay comfortably inside INT on both engines — the reason the 64-bit
+    signature is represented as 4 band ints + a hex string instead of one
+    BIGINT (bit 63 would need signed two's-complement gymnastics that
+    Spark's ANSI mode and DuckDB handle differently)."""
+    cols = []
+    for b in range(n_bits // band_bits):
+        term = None
+        for i in range(b * band_bits, (b + 1) * band_bits):
+            t = F.when(
+                F.col(f"_v{i}") > 0, F.lit(2 ** (i - b * band_bits))
+            ).otherwise(F.lit(0))
+            term = t if term is None else term + t
+        cols.append(term.cast("int").alias(f"_band{b}"))
+    return cols
+
+
+def simhash16(docs: DataFrame) -> DataFrame:
+    """16-bit SimHash over word tokens (compact variant; production width
+    is ``simhash64``)."""
+    g = _simhash_votes(docs, 16)
     sim = None
     for i in range(16):
         term = F.when(F.col(f"_v{i}") > 0, F.lit(2**i)).otherwise(F.lit(0))
@@ -238,10 +265,26 @@ def simhash16(docs: DataFrame) -> DataFrame:
     return g.select("doc_id", sim.cast("int").alias("simhash"))
 
 
+SIMHASH_BITS = 64
 SIMHASH_BANDS = 4
-SIMHASH_BAND_BITS = 4
+SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS  # 16
 SIMHASH_MAX_HAMMING = 3
 SIMHASH_MAX_BAND_DF = 200
+
+
+def simhash64(docs: DataFrame) -> DataFrame:
+    """Production-width 64-bit SimHash: (doc_id, _band0.._band3,
+    simhash_hex) where ``simhash_hex`` is the 16-hex-char signature
+    MSB-first and ``_bandN`` are the 4x16-bit band ints ``simhash_pairs``
+    buckets on."""
+    sig = _simhash_votes(docs, SIMHASH_BITS).select(
+        "doc_id", *_band_exprs(SIMHASH_BITS, SIMHASH_BAND_BITS)
+    )
+    hex_parts = [
+        F.lpad(F.lower(F.hex(F.col(f"_band{b}"))), 4, "0")
+        for b in range(SIMHASH_BANDS - 1, -1, -1)
+    ]
+    return sig.withColumn("simhash_hex", F.concat(*hex_parts))
 
 
 def simhash_pairs(
@@ -249,37 +292,33 @@ def simhash_pairs(
     max_hamming: int = SIMHASH_MAX_HAMMING,
     max_band_df: int = SIMHASH_MAX_BAND_DF,
 ) -> DataFrame:
-    """Near-duplicate pairs from SimHash signatures via bit-band bucketing —
-    the standard sublinear construction (same band-join + df-cap pattern as
-    ``minhash_lsh_pairs``).
+    """Near-duplicate pairs from 64-bit SimHash signatures via bit-band
+    bucketing — the standard sublinear construction (same band-join +
+    df-cap pattern as ``minhash_lsh_pairs``).
 
-    The 16-bit signature splits into 4 bands of 4 bits; two signatures with
-    hamming distance <= 3 must agree EXACTLY on at least one band
-    (pigeonhole: d errors can ruin at most d of the 4 bands), so the
-    band-bucket join has full recall for ``max_hamming <= 3``.  Candidates
-    are deduped across bands, then the exact hamming distance
-    (bit_count(xor)) filters.  Skew guard: a (band, value) bucket holding
-    more than ``max_band_df`` documents is stop-listed before the self-join
-    — identically mirrored in the DuckDB oracle.  At production bit-widths
-    (64-bit sig, 4x16-bit bands) the same plan applies unchanged.
+    The 64-bit signature splits into 4 bands of 16 bits (production
+    widths); two signatures with hamming distance <= 3 must agree EXACTLY
+    on at least one band (pigeonhole: d errors can ruin at most d of the 4
+    bands), so the band-bucket join has full recall for ``max_hamming <=
+    3``.  Candidates are deduped across bands, then the exact hamming
+    distance — the per-band bit_count(xor) summed over the 4 band ints —
+    filters.  Skew guard: a (band, value) bucket holding more than
+    ``max_band_df`` documents is stop-listed before the self-join —
+    identically mirrored in the DuckDB oracle.
     """
     from pyspark.sql import Window
 
-    sig = simhash16(docs)
+    band_cols = [f"_band{b}" for b in range(SIMHASH_BANDS)]
+    sig = simhash64(docs).select("doc_id", *band_cols)
     bands = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.shiftright(F.col("simhash"), b * SIMHASH_BAND_BITS)
-            .bitwiseAND(F.lit((1 << SIMHASH_BAND_BITS) - 1))
-            .alias("band_val"),
-        )
+        F.struct(F.lit(b).alias("band"), F.col(f"_band{b}").alias("band_val"))
         for b in range(SIMHASH_BANDS)
     ]
     banded = sig.select(
-        "doc_id", "simhash", F.explode(F.array(*bands)).alias("_b")
+        "doc_id", *band_cols, F.explode(F.array(*bands)).alias("_b")
     ).select(
         "doc_id",
-        "simhash",
+        *band_cols,
         F.col("_b.band").alias("band"),
         F.col("_b.band_val").alias("band_val"),
     )
@@ -302,12 +341,15 @@ def simhash_pairs(
         .select(
             F.col("l.doc_id").alias("doc_a"),
             F.col("r.doc_id").alias("doc_b"),
-            F.col("l.simhash").alias("_sa"),
-            F.col("r.simhash").alias("_sb"),
+            *[F.col(f"l._band{b}").alias(f"_la{b}") for b in range(SIMHASH_BANDS)],
+            *[F.col(f"r._band{b}").alias(f"_rb{b}") for b in range(SIMHASH_BANDS)],
         )
         .distinct()
     )
-    hamming = F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb")))
+    hamming = None
+    for b in range(SIMHASH_BANDS):
+        t = F.bit_count(F.col(f"_la{b}").bitwiseXOR(F.col(f"_rb{b}")))
+        hamming = t if hamming is None else hamming + t
     return (
         cand.withColumn("hamming", hamming.cast("int"))
         .filter(F.col("hamming") <= max_hamming)

@@ -140,8 +140,18 @@ def featurize_salted(
     rolling_width: int = 5,
     gap_s: int = 1800,
     hot_col: str | None = None,
+    firsts_join: str = "broadcast",
 ) -> DataFrame:
     """Salted equivalent of ``operators.windows.featurize``.
+
+    ``firsts_join``: physical strategy for joining the per-(hot conv, tool)
+    first-occurrence dim back to the base scan.  ``"broadcast"`` (default)
+    is right whenever |hot conversations| x |tool vocabulary| rows fit an
+    executor (true at this sandbox's scale and for modest vocabularies);
+    at the 10^12-turn design point ~15M hot conversations x a 50-100-tool
+    vocabulary is ~10^9 dim rows — past any broadcast budget — so callers
+    there pass ``"shuffle"`` for a shuffled hash join (the base side pays
+    one extra exchange; the dim side is already shuffled by its groupBy).
 
     Requires ``turn_idx`` to be the dense 0-based stable order within each
     conversation (the ingest invariant), aligned with (ts, turn_idx) order.
@@ -169,10 +179,13 @@ def featurize_salted(
     # (conv, tool) window group holds every use of one tool in one
     # conversation — 10^8 rows in ONE sort task for a single-tool hot
     # conversation.  Instead: hot conversations resolve their global first
-    # via a map-side-combined min-aggregate broadcast back as a tiny dim
-    # (|hot| x vocabulary rows — broadcastable at any corpus size for the
-    # same reason the hot flag is); cold conversations keep the window but
-    # keyed by (conv, tool, _chunk), whose groups the router bounds.
+    # via a map-side-combined min-aggregate joined back as a dim of
+    # |hot| x |tool vocabulary| rows.  NOTE the vocabulary factor: unlike
+    # the conv_id-only hot flag, this dim is NOT broadcastable at every
+    # corpus size (15M hot convs x 50-100 tools overflows an executor) —
+    # hence the ``firsts_join`` escape hatch (ADVICE r3).  Cold
+    # conversations keep the window but keyed by (conv, tool, _chunk),
+    # whose groups the router bounds.
     hot_src = (
         df
         if hot_col is None
@@ -183,6 +196,12 @@ def featurize_salted(
         .groupBy("conv_id", "tool")
         .agg(F.min(F.struct("ts", "turn_idx")).alias("_fp"))
     )
+    if firsts_join == "broadcast":
+        firsts = F.broadcast(firsts)
+    elif firsts_join == "shuffle":
+        firsts = firsts.hint("shuffle_hash")
+    else:
+        raise ValueError(f"firsts_join must be broadcast|shuffle: {firsts_join}")
 
     base = (
         df.withColumn("_us", F.unix_micros(F.col("ts")))
@@ -191,10 +210,17 @@ def featurize_salted(
             F.when(hot, F.floor(F.col("turn_idx") / F.lit(cs))).otherwise(F.lit(0)),
         )
         .withColumn("_used", non_empty.cast("long"))
-        .join(F.broadcast(firsts), on=["conv_id", "tool"], how="left")
+        .join(firsts, on=["conv_id", "tool"], how="left")
         .withColumn(
             "_first_use",
             (
+                # equality-to-min flags EVERY row tying the per-(conv, tool)
+                # minimum — exactly one row only because (ts, turn_idx) is
+                # unique per conversation (turn_idx is the dense 0-based
+                # stable order; the ingest invariant this module requires,
+                # asserted in tests/test_salt.py).  A duplicate (conv_id,
+                # turn_idx) row would be malformed input upstream of this
+                # operator, not a tie to break here.  (ADVICE r3)
                 F.when(
                     hot, F.struct("ts", "turn_idx") == F.col("_fp")
                 ).otherwise(

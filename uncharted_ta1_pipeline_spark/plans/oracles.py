@@ -232,3 +232,6 @@ SELECT probe_id, conv_id, probe_ts_us, n_obs,
                   ELSE mean_c / 100 END, 6) + 0 AS pred
 FROM final
 """
+
+# Same semantics, different Spark physical strategy — one oracle text.
+ORACLES["asof_fit_predict_bucketed"] = ORACLES["asof_fit_predict"]

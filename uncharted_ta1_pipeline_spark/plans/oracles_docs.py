@@ -110,44 +110,47 @@ JOIN sizes sb ON c.doc_b = sb.doc_id
 WHERE round(c.c / (sa.n + sb.n - c.c), 6) >= 0.3
 """
 
-_vote_terms = []
-for i in range(16):
-    j = i // 4 + 1
-    k = 3 - (i % 4)
-    nib = f"(strpos('{HEX}', substr(h4, {j}, 1)) - 1)"
-    bit = f"(CAST(floor({nib} / {2 ** k}) AS INTEGER) % 2)"
-    _vote_terms.append(
-        f"sum(CASE WHEN {bit} = 1 THEN 1 ELSE -1 END) AS v{i}"
-    )
-_sim_sum = " + ".join(f"CASE WHEN v{i} > 0 THEN {2 ** i} ELSE 0 END" for i in range(16))
-_votes_sql = ",\n         ".join(_vote_terms)
-ORACLES_DOCS["simhash"] = f"""
-WITH toks AS (
-  SELECT doc_id, substr(md5(u.t), 1, 4) AS h4
-  FROM documents, unnest(string_split(text, ' ')) AS u(t)
-),
-votes AS (
-  SELECT doc_id,
-         {_votes_sql}
-  FROM toks GROUP BY doc_id
-)
-SELECT doc_id, CAST({_sim_sum} AS INTEGER) AS simhash
-FROM votes
-"""
-
-# bit-band LSH over the simhash signature: 4 bands x 4 bits, df-capped
-# buckets, exact hamming (bit_count of xor) filter — the same construction
-# as operators/dedup.py:simhash_pairs, including the cap.
+# 64-bit SimHash (production width), 4 bands x 16 bits — generated from the
+# SAME constants as operators/dedup.py so a width change re-parameterizes
+# both engines together.  The signature is represented as 4 band INTs + a
+# 16-hex-char string (not one BIGINT: bit 63 would need signed two's-
+# complement handling that Spark ANSI and DuckDB disagree on).
 from uncharted_ta1_pipeline_spark.operators.dedup import (  # noqa: E402
     SIMHASH_BAND_BITS,
     SIMHASH_BANDS,
+    SIMHASH_BITS,
     SIMHASH_MAX_BAND_DF,
     SIMHASH_MAX_HAMMING,
 )
 
+_vote_terms = []
+for i in range(SIMHASH_BITS):
+    j = i // 4 + 1
+    k = 3 - (i % 4)
+    nib = f"(strpos('{HEX}', substr(hx, {j}, 1)) - 1)"
+    bit = f"(CAST(floor({nib} / {2 ** k}) AS INTEGER) % 2)"
+    _vote_terms.append(
+        f"sum(CASE WHEN {bit} = 1 THEN 1 ELSE -1 END) AS v{i}"
+    )
+_votes_sql = ",\n         ".join(_vote_terms)
+_band_sums = [
+    " + ".join(
+        f"CASE WHEN v{i} > 0 THEN {2 ** (i - b * SIMHASH_BAND_BITS)} ELSE 0 END"
+        for i in range(b * SIMHASH_BAND_BITS, (b + 1) * SIMHASH_BAND_BITS)
+    )
+    for b in range(SIMHASH_BANDS)
+]
+_band_cols = ",\n         ".join(
+    f"CAST({s} AS INTEGER) AS band{b}" for b, s in enumerate(_band_sums)
+)
+_hex_expr = " || ".join(
+    f"lower(lpad(to_hex(band{b}), 4, '0'))"
+    for b in range(SIMHASH_BANDS - 1, -1, -1)
+)
+
 _simhash_core = f"""
 toks AS (
-  SELECT doc_id, substr(md5(u.t), 1, 4) AS h4
+  SELECT doc_id, substr(md5(u.t), 1, {SIMHASH_BITS // 4}) AS hx
   FROM documents, unnest(string_split(text, ' ')) AS u(t)
 ),
 votes AS (
@@ -156,16 +159,28 @@ votes AS (
   FROM toks GROUP BY doc_id
 ),
 sim AS (
-  SELECT doc_id, CAST({_sim_sum} AS INTEGER) AS simhash
+  SELECT doc_id,
+         {_band_cols}
   FROM votes
 )
 """.strip()
 
+ORACLES_DOCS["simhash"] = f"""
+WITH {_simhash_core}
+SELECT doc_id, {_hex_expr} AS simhash_hex
+FROM sim
+"""
+
 _band_rows = "\n  UNION ALL\n".join(
-    f"  SELECT doc_id, simhash, {b} AS band, "
-    f"(simhash >> {b * SIMHASH_BAND_BITS}) & {(1 << SIMHASH_BAND_BITS) - 1} AS band_val"
-    " FROM sim"
+    f"  SELECT doc_id, band0, band1, band2, band3, {b} AS band, "
+    f"band{b} AS band_val FROM sim"
     for b in range(SIMHASH_BANDS)
+)
+_ham = " + ".join(
+    f"bit_count(xor(la{b}, rb{b}))" for b in range(SIMHASH_BANDS)
+)
+_pair_bands = ", ".join(
+    f"l.band{b} AS la{b}, r.band{b} AS rb{b}" for b in range(SIMHASH_BANDS)
 )
 ORACLES_DOCS["simhash_pairs"] = f"""
 WITH {_simhash_core},
@@ -182,12 +197,12 @@ kept AS (
 ),
 cand AS (
   SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
-         l.simhash AS sa, r.simhash AS sb
+         {_pair_bands}
   FROM kept l JOIN kept r
     ON l.band = r.band AND l.band_val = r.band_val AND l.doc_id < r.doc_id
 )
-SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
-FROM cand WHERE bit_count(xor(sa, sb)) <= {SIMHASH_MAX_HAMMING}
+SELECT doc_a, doc_b, CAST({_ham} AS INTEGER) AS hamming
+FROM cand WHERE {_ham} <= {SIMHASH_MAX_HAMMING}
 """
 
 ORACLES_DOCS["embedding_cosine_pairs"] = """

@@ -182,9 +182,21 @@ def q_asof_fit_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fit_predict_at_probes(make_probes(t), t)
 
 
+def q_asof_fit_predict_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path twin of ``asof_fit_predict``: chunk-bounded sufficient
+    statistics (regression_state_bucketed — the salt.py offset pattern)
+    chained into the time-bucketed as-of join.  NO whole-key window in the
+    plan; identical output (tests/test_asof_equivalence.py)."""
+    from uncharted_ta1_pipeline_spark.operators.asof import fit_predict_at_probes
+
+    t = load_transcripts(spark, sf_dir)
+    return fit_predict_at_probes(make_probes(t), t, strategy="bucketed")
+
+
 QUERIES = {
     "ingest_ordered": q_ingest_ordered,
     "asof_fit_predict": q_asof_fit_predict,
+    "asof_fit_predict_bucketed": q_asof_fit_predict_bucketed,
     "sessionize": q_sessionize,
     "lag_lead": q_lag_lead,
     "cumulative": q_cumulative,

@@ -47,7 +47,9 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
 
 
 def q_simhash(spark, sf_dir):
-    return dd.simhash16(_docs(spark, sf_dir))
+    # production width: 64-bit signature as a 16-hex-char string (the
+    # band-int internals stay private; hash parity is on the hex form)
+    return dd.simhash64(_docs(spark, sf_dir)).select("doc_id", "simhash_hex")
 
 
 def q_simhash_pairs(spark, sf_dir):

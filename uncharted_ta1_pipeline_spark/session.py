@@ -71,8 +71,8 @@ def get_spark(
             "dist",
             "uncharted_ta1_pipeline_spark.zip",
         )
-        if os.path.isfile(zip_path):
-            builder = builder.config("spark.submit.pyFiles", zip_path)
+    else:
+        zip_path = None
     # local-mode shuffle spill to tmpfs when available (single-node sandbox;
     # a real cluster uses executor-local disks instead)
     if os.path.isdir("/dev/shm") and os.environ.get("SPARK_GRAFT_SHM", "1") == "1":
@@ -89,5 +89,15 @@ def get_spark(
             k, _, v = kv.partition("=")
             builder = builder.config(k.strip(), v.strip())
     spark = builder.getOrCreate()
+    if zip_path and os.path.isfile(zip_path):
+        # addPyFile (not spark.submit.pyFiles on the builder): setting the
+        # conf programmatically only appends the basename to the context's
+        # _python_includes and copies the zip into the DRIVER's SparkFiles
+        # root — distribution to executors is done by spark-submit itself.
+        # addPyFile both ships the file to every executor and registers the
+        # include, so the plain `python bench.py` + SPARK_GRAFT_MASTER
+        # fallback works too; under spark-submit --py-files the call is a
+        # harmless re-add of an already-distributed file.  (ADVICE r3)
+        spark.sparkContext.addPyFile(zip_path)
     spark.sparkContext.setLogLevel("WARN")
     return spark

@@ -92,11 +92,18 @@ def stream_dedup(stream: DataFrame, watermark_s: int = 3600) -> DataFrame:
     shape that survives an unbounded 10^12-turn feed.  (Exactly-once within
     the horizon; re-sends beyond it are the at-least-once residue the
     batch-layer digest dedup removes, mirroring the reference queue's
-    bounded-redelivery discipline, request_client.py:253-262.)"""
+    bounded-redelivery discipline, request_client.py:253-262.)
+
+    The digest includes the event time ``ts``: a queue redelivery replays
+    the SAME event (same event time), while two genuinely distinct turns
+    with identical (role, text, tool) — e.g. a user sending "ok" twice,
+    minutes apart — differ in ``ts`` and must both survive.  Content-only
+    digests would silently collapse the second "ok" (ADVICE r3)."""
     digest = F.sha2(
         F.concat_ws(
             "\x1f",
             F.col("conv_id"),
+            F.unix_micros(F.col("ts")).cast("string"),
             F.coalesce(F.col("role"), F.lit("")),
             F.coalesce(F.col("text"), F.lit("")),
             F.coalesce(F.col("tool"), F.lit("")),
@@ -107,6 +114,7 @@ def stream_dedup(stream: DataFrame, watermark_s: int = 3600) -> DataFrame:
         stream.withColumn("digest", digest)
         .withWatermark("ts", f"{watermark_s} seconds")
         .dropDuplicatesWithinWatermark(["conv_id", "digest"])
+        .drop("digest")  # helper column; output schema == input schema
     )
 
 
