@@ -77,6 +77,8 @@ def run_cluster(
         SPARK_GRAFT_CPUS=str(n_exec * cores),
         SPARK_GRAFT_WARMUP=str(warmup),
         SPARK_GRAFT_DRIVER_MEM="8g",
+        # executor heap must fit the local-cluster worker grant (mem_mb)
+        SPARK_GRAFT_EXEC_MEM=f"{max(mem_mb - 1024, 896)}m",
         SPARK_GRAFT_SHM="0",
         # identical task slices at both cluster sizes — partition count is
         # held at big-cluster granularity so only executor count varies
@@ -370,6 +372,10 @@ ceiling itself moves with tenancy.
   default put EVERY conversation-sized group there; measured ~12% faster
   and +0.01-0.09 efficiency depending on input shape).
 """)
+    findings = os.path.join(REPO, "BENCH", "FINDINGS.md")
+    if os.path.isfile(findings):
+        with open(findings) as f:
+            parts.append("\n" + f.read())
     with open(md, "w") as f:
         f.write("".join(parts))
 

@@ -33,8 +33,14 @@ def test_media_pipeline(spark):
     assert (fs["frame_ts_ms"] % 5000 == 0).all()
     assert fs.groupby("media_id").size().min() >= 1
 
-    with pytest.raises(NotImplementedError):
-        extract_features(m, decode_backend="real")
+    # decode_backend='real' is no longer a blanket raise: it dispatches per
+    # mime (PNG/PPM decode for real) and fails only on rows whose format
+    # genuinely needs external libs — covered in
+    # test_real_backend_unsupported_format_is_per_format.  Here the fake
+    # payloads are not valid PNG, so the real backend must reject them.
+    with pytest.raises(Exception, match="not a PNG"):
+        extract_features(m.filter("mime = 'image/png'"),
+                         decode_backend="real").collect()
 
 
 def test_real_ppm_codec_roundtrip(spark):
@@ -128,3 +134,63 @@ def test_real_wav_codec_roundtrip(spark):
         assert len(s_out) == len(s_in) // 2
         # nearest-neighbor: every output sample exists in the input
         assert np.isin(s_out, s_in).all()
+
+
+def test_real_png_codec_roundtrip(spark):
+    """The stdlib-zlib + numpy PNG codec is a REAL decode path: encode ->
+    decode is exact across gray/RGB/RGBA and all five scanline filters,
+    decode_backend='real' extracts true pixel means from PNG payloads, and
+    resize_pixels re-encodes valid PNG at the resampled geometry."""
+    import numpy as np
+
+    from uncharted_ta1_pipeline_spark.operators.multimodal import (
+        _decode_png,
+        _encode_png,
+        extract_features,
+        resize_pixels,
+        synth_png_media,
+    )
+
+    rng = np.random.RandomState(11)
+    for shape in [(5, 4, 3), (9, 17, 4), (7, 7, 1)]:
+        arr = rng.randint(0, 256, size=shape, dtype=np.uint8)
+        flat = arr[:, :, 0] if shape[2] == 1 else arr
+        for cycle in (False, True):  # filters 0 only, then 0..4 cycling
+            assert (_decode_png(_encode_png(flat, cycle)) == arr).all()
+
+    m = synth_png_media(spark, n=24).cache()
+    pdf = m.toPandas().sort_values("media_id")
+    for _, row in pdf.iterrows():
+        a = _decode_png(bytes(row.payload))
+        assert a.shape == (row.meta["height"], row.meta["width"], 3)
+
+    feats = (
+        extract_features(m, decode_backend="real").toPandas().sort_values("media_id")
+    )
+    for (_, row), (_, f) in zip(pdf.iterrows(), feats.iterrows()):
+        a = _decode_png(bytes(row.payload))
+        assert f.fake_brightness == round(float(np.mean(a)) / 255.0, 6)
+
+    r = resize_pixels(m, max_dim=16).toPandas().sort_values("media_id")
+    assert len(r) == 24
+    for _, row in r.iterrows():
+        a = _decode_png(bytes(row.payload))
+        assert a.shape == (row.out_height, row.out_width, 3)
+        assert max(row.out_width, row.out_height) <= 16
+
+
+def test_real_backend_unsupported_format_is_per_format(spark):
+    """decode_backend='real' raises only for formats that genuinely need
+    external libraries (video/mp4) — and the error is raised per-row at
+    execution, not for the whole backend."""
+    import pytest as _pytest
+
+    from uncharted_ta1_pipeline_spark.operators.multimodal import (
+        extract_features,
+        synth_media,
+    )
+
+    m = synth_media(spark, n=9)
+    png_audio_free = m.filter("mime = 'video/mp4'")
+    with _pytest.raises(Exception, match="no in-container codec"):
+        extract_features(png_audio_free, decode_backend="real").collect()

@@ -153,6 +153,220 @@ def synth_ppm_media(spark: SparkSession, n: int = 32) -> DataFrame:
     return base.mapInPandas(gen, MEDIA_SCHEMA)
 
 
+# ---- PNG: a REAL codec in stdlib zlib + numpy ----------------------------
+# Closes the 'real decode backend' gap for the one image format the media
+# table actually names (image/png, synth_media above): full chunk parse,
+# zlib inflate, and per-scanline unfilter (all five PNG filter types).
+# 8-bit gray / RGB / RGBA, no interlace — formats beyond that (JPEG, video)
+# still raise, now narrowly.  Reference analog: the PIL-backed image IO at
+# /root/reference/tasks/common/io.py:207-342, re-expressed as an
+# executor-side Arrow-batched codec with no external libraries.
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import struct
+    import zlib as _zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", _zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def _encode_png(arr, filter_cycle: bool = False) -> bytes:
+    """numpy (H, W) or (H, W, C) uint8 (C in 1/3/4) -> PNG payload.
+
+    ``filter_cycle`` rotates scanline filters 0..4 (instead of all-None)
+    so decoders get exercised on every unfilter path."""
+    import struct
+    import zlib as _zlib
+
+    import numpy as np
+
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, c = arr.shape
+    color_type = {1: 0, 3: 2, 4: 6}[c]
+    raw = bytearray()
+    prev = np.zeros((w, c), dtype=np.int16)
+    for y in range(h):
+        row = arr[y].astype(np.int16)
+        ft = (y % 5) if filter_cycle else 0
+        if ft == 0:
+            enc = row
+        elif ft == 1:  # Sub
+            left = np.vstack([np.zeros((1, c), np.int16), row[:-1]])
+            enc = row - left
+        elif ft == 2:  # Up
+            enc = row - prev
+        elif ft == 3:  # Average
+            left = np.vstack([np.zeros((1, c), np.int16), row[:-1]])
+            enc = row - (left + prev) // 2
+        else:  # Paeth
+            left = np.vstack([np.zeros((1, c), np.int16), row[:-1]])
+            ul = np.vstack([np.zeros((1, c), np.int16), prev[:-1]])
+            p = left + prev - ul
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, ul)
+            )
+            enc = row - pred
+        raw.append(ft)
+        raw.extend((enc % 256).astype(np.uint8).tobytes())
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", _zlib.compress(bytes(raw), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _decode_png(payload: bytes):
+    """PNG -> numpy (H, W, C) uint8.  8-bit depth, color types 0 (gray),
+    2 (RGB), 6 (RGBA); all five scanline filters; no Adam7 interlace."""
+    import struct
+    import zlib as _zlib
+
+    import numpy as np
+
+    if not payload.startswith(_PNG_SIG):
+        raise ValueError("not a PNG payload")
+    pos, idat, ihdr, plte = len(_PNG_SIG), bytearray(), None, None
+    while pos < len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack(
+            ">I", payload[pos + 8 + length : pos + 12 + length]
+        )
+        if _zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"PLTE":
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif tag == b"IDAT":
+            idat.extend(body)
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, color_type, comp, filt, interlace = ihdr
+    if depth != 8 or comp != 0 or filt != 0:
+        raise ValueError(f"unsupported PNG (depth={depth})")
+    if interlace != 0:
+        raise ValueError("Adam7 interlace not supported")
+    # color type 3 = paletted: one index channel, expanded via PLTE below
+    channels = {0: 1, 2: 3, 3: 1, 6: 4}.get(color_type)
+    if channels is None:
+        raise ValueError(f"unsupported PNG color type {color_type}")
+    if color_type == 3 and plte is None:
+        raise ValueError("paletted PNG missing PLTE")
+    raw = np.frombuffer(_zlib.decompress(bytes(idat)), dtype=np.uint8)
+    stride = w * channels + 1
+    if raw.size != h * stride:
+        raise ValueError("PNG scanline data size mismatch")
+    raw = raw.reshape(h, stride)
+    out = np.zeros((h, w * channels), dtype=np.uint8)
+    bpp = channels
+    for y in range(h):
+        ft, line = raw[y, 0], raw[y, 1:].astype(np.int32)
+        prev = out[y - 1].astype(np.int32) if y else np.zeros_like(line)
+        if ft == 0:
+            rec = line
+        elif ft == 1:  # Sub: prefix-sum per bpp residue class (vectorized)
+            rec = line.reshape(-1, bpp).cumsum(axis=0) % 256
+            rec = rec.reshape(-1)
+        elif ft == 2:  # Up
+            rec = (line + prev) % 256
+        elif ft == 3:  # Average (left-sequential)
+            rec = np.zeros_like(line)
+            for x in range(line.size):
+                left = rec[x - bpp] if x >= bpp else 0
+                rec[x] = (line[x] + (left + prev[x]) // 2) % 256
+        elif ft == 4:  # Paeth (left-sequential)
+            rec = np.zeros_like(line)
+            for x in range(line.size):
+                a = rec[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                cc = prev[x - bpp] if x >= bpp else 0
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+                rec[x] = (line[x] + pred) % 256
+        else:
+            raise ValueError(f"bad PNG filter type {ft}")
+        out[y] = rec.astype(np.uint8)
+    out = out.reshape(h, w, channels)
+    if color_type == 3:
+        out = plte[out[:, :, 0]]  # palette lookup -> (H, W, 3) RGB
+    return out
+
+
+def _png_decode_features(payload: bytes) -> dict:
+    """REAL decode: true mean brightness over actual PNG pixel values."""
+    import numpy as np
+
+    arr = _decode_png(payload)
+    return {
+        "brightness": round(float(np.mean(arr)) / 255.0, 6),
+        "n_frames": 1,
+    }
+
+
+def synth_png_media(spark: SparkSession, n: int = 32) -> DataFrame:
+    """Deterministic REAL PNG images (gradient patterns, scanline filters
+    cycling 0..4 so decode exercises every unfilter path) — generated
+    executor-side like ``synth_ppm_media``."""
+    base = spark.range(n).select(
+        F.col("id").alias("media_id"),
+        F.concat(F.lit("conv"), F.lpad((F.col("id") % 10).cast("string"), 6, "0")).alias(
+            "conv_id"
+        ),
+        (F.col("id") % 48 + 16).cast("int").alias("w"),
+        (F.col("id") % 32 + 16).cast("int").alias("h"),
+    )
+
+    def gen(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid, conv, w, h in pdf.itertuples(index=False):
+                yy, xx = np.mgrid[0:h, 0:w]
+                arr = np.stack(
+                    [
+                        (xx * 255 // max(w - 1, 1)).astype(np.uint8),
+                        (yy * 255 // max(h - 1, 1)).astype(np.uint8),
+                        np.full((h, w), mid % 256, dtype=np.uint8),
+                    ],
+                    axis=-1,
+                )
+                rows.append(
+                    (
+                        mid,
+                        conv,
+                        "image/png",
+                        _encode_png(arr, filter_cycle=True),
+                        {"width": int(w), "height": int(h),
+                         "duration_ms": 0, "sample_rate": 0},
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "conv_id", "mime", "payload", "meta"]
+            )
+
+    return base.mapInPandas(gen, MEDIA_SCHEMA)
+
+
 def _fake_decode(payload: bytes) -> dict:
     """Deterministic stand-in for a codec: derives values from content."""
     h = hashlib.md5(payload).digest()
@@ -173,26 +387,42 @@ def _ppm_decode(payload: bytes) -> dict:
     }
 
 
+def _real_decode(payload: bytes, mime: str) -> dict:
+    """Mime-dispatched REAL decode: PNG and PPM have full pure-numpy codecs
+    here; anything else (JPEG, video containers) genuinely needs external
+    libraries (PIL/ffmpeg) absent from this container and raises — the
+    NotImplementedError is now per-format, not per-backend."""
+    if mime == "image/png":
+        return _png_decode_features(payload)
+    if mime == "image/x-portable-pixmap":
+        return _ppm_decode(payload)
+    raise NotImplementedError(
+        f"no in-container codec for {mime}: JPEG/video decode needs "
+        "PIL/ffmpeg on the executors (production path)"
+    )
+
+
 def extract_features(media: DataFrame, decode_backend: str = "fake") -> DataFrame:
     """Batched decode + feature extraction via mapInPandas (Arrow).
 
     ``decode_backend='ppm'`` runs the real numpy PPM codec;
-    ``decode_backend='real'`` is the remaining-formats production path
-    (PIL/librosa/ffmpeg on the executors) — unavailable in this container
-    by design."""
-    if decode_backend == "real":
-        raise NotImplementedError(
-            "PIL/librosa/ffmpeg are not installed in this container; use "
-            "decode_backend='ppm' (real numpy codec) or 'fake' — the Spark "
-            "plumbing (schema, batching, partitioning) is identical"
-        )
-    decode = _ppm_decode if decode_backend == "ppm" else _fake_decode
+    ``decode_backend='real'`` dispatches per mime — PNG and PPM decode for
+    real (pure stdlib zlib + numpy), formats needing PIL/ffmpeg raise a
+    narrow per-format NotImplementedError."""
+    decode = {
+        "ppm": lambda p, m: _ppm_decode(p),
+        "fake": lambda p, m: _fake_decode(p),
+        "real": _real_decode,
+    }[decode_backend]
 
     def fn(batches: Iterator) -> Iterator:
         import pandas as pd
 
         for pdf in batches:  # bounded Arrow batches ≈ inference batch size
-            feats = [decode(bytes(p)) for p in pdf["payload"]]
+            feats = [
+                decode(bytes(p), m)
+                for p, m in zip(pdf["payload"], pdf["mime"])
+            ]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -233,11 +463,12 @@ RESIZED_SCHEMA = (
 
 
 def resize_pixels(media: DataFrame, max_dim: int = 256) -> DataFrame:
-    """REAL resize for PPM rows: decode, nearest-neighbor resample in numpy,
-    re-encode — the pixel half of ``resize`` (whose geometry math stays
-    JVM-side and is reused here via a join-free recomputation).  Arrow
-    batches bound the in-flight pixel memory exactly like the inference
-    batch size bounds the reference's GPU memory."""
+    """REAL resize for decodable image rows (PPM and PNG): decode,
+    nearest-neighbor resample in numpy, re-encode in the same format — the
+    pixel half of ``resize`` (whose geometry math stays JVM-side and is
+    reused here via a join-free recomputation).  Arrow batches bound the
+    in-flight pixel memory exactly like the inference batch size bounds
+    the reference's GPU memory."""
 
     def fn(batches: Iterator) -> Iterator:
         import numpy as np
@@ -248,22 +479,27 @@ def resize_pixels(media: DataFrame, max_dim: int = 256) -> DataFrame:
             for mid, mime, payload in pdf[["media_id", "mime", "payload"]].itertuples(
                 index=False
             ):
-                arr = _decode_ppm(bytes(payload))
+                if mime == "image/png":
+                    arr = _decode_png(bytes(payload))
+                    enc = _encode_png
+                else:
+                    arr = _decode_ppm(bytes(payload))
+                    enc = _encode_ppm
                 h, w = arr.shape[0], arr.shape[1]
                 scale = min(1.0, max_dim / max(w, h))
                 ow, oh = max(int(w * scale), 1), max(int(h * scale), 1)
                 yi = (np.arange(oh) * h) // oh
                 xi = (np.arange(ow) * w) // ow
                 out = arr[yi][:, xi]
-                rows.append((mid, mime, ow, oh, _encode_ppm(out)))
+                rows.append((mid, mime, ow, oh, enc(out)))
             yield pd.DataFrame(
                 rows,
                 columns=["media_id", "mime", "out_width", "out_height", "payload"],
             )
 
-    return media.filter(F.col("mime") == "image/x-portable-pixmap").mapInPandas(
-        fn, RESIZED_SCHEMA
-    )
+    return media.filter(
+        F.col("mime").isin("image/x-portable-pixmap", "image/png")
+    ).mapInPandas(fn, RESIZED_SCHEMA)
 
 
 # ---- audio: a REAL RIFF/WAV PCM16 codec in pure numpy --------------------
