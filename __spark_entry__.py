@@ -66,6 +66,8 @@ _PRIORITY = [
     "ivf_topk",             # min_by partial-agg rewrite
     "ivf_cluster_stats",    # downstream of the min_by rewrite
     "featurize_full",       # routing re-measured after r3 regression
+    "repetition",           # NEW: Gopher-style repetition quality signals
+    "pii_mask",             # NEW: PII redaction (email/IP/phone)
     # tier 2 — rowless since r01/r02 (driver 50-row cap): rotate in, per
     # the rotation policy's promise (VERDICT r3 #4)
     "asof_features_bucketed",

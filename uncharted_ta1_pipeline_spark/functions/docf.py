@@ -83,3 +83,77 @@ def fingerprint(df, text_col: str = "text", gram: int = 8, stride: int = 4):
     return df.withColumn("fingerprint", F.array_min(hashes)).withColumn(
         "n_distinct_shingles", F.size(F.array_distinct(shingles)).cast("long")
     )
+
+
+def repetition_features(df, text_col: str = "text"):
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1 —
+    the published repetition filters used for large LM corpora), adapted to
+    single-line documents: duplicate-word fraction, duplicate-2-gram
+    fraction, and the share of 2-grams taken by the most frequent 2-gram.
+    High values mark degenerate/boilerplate documents that dedup misses.
+
+    Pure Catalyst array expressions — the per-row top-2-gram count is
+    O(distinct * n) over a single document's words, bounded by document
+    length, never a shuffle.  (Transcript-domain re-expression of the
+    reference's denoising prefilters, tasks/segmentation/denoise.)"""
+    t = F.col(text_col)
+    words = _words(t)
+    n_w = F.size(words)
+    bigrams = F.zip_with(
+        F.slice(words, 1, F.greatest(n_w - 1, F.lit(0))),
+        F.slice(words, 2, F.greatest(n_w - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    n_bg = F.size(bigrams)
+    top_bg = F.array_max(
+        F.transform(
+            F.array_distinct(bigrams),
+            lambda d: F.size(F.filter(bigrams, lambda x: x == d)),
+        )
+    )
+    return (
+        df.withColumn("n_words", n_w.cast("long"))
+        .withColumn(
+            "dup_word_frac",
+            F.round(1 - F.size(F.array_distinct(words)) / n_w, 6),
+        )
+        .withColumn(
+            "dup_2gram_frac",
+            F.when(
+                n_bg > 0,
+                F.round(1 - F.size(F.array_distinct(bigrams)) / n_bg, 6),
+            ),
+        )
+        .withColumn(
+            "top_2gram_share",
+            F.when(n_bg > 0, F.round(top_bg / n_bg, 6)),
+        )
+    )
+
+
+# PII masking: the redaction pass every published LM data pipeline runs
+# before training.  Patterns are the RE2/Java-regex common subset so Spark
+# and DuckDB agree byte-for-byte.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PII_PHONE_RE = r"\b\+?[0-9]{3}[- .][0-9]{3}[- .][0-9]{4}\b"
+
+
+def pii_mask(df, text_col: str = "text"):
+    """Mask emails, IPv4 addresses, and phone-shaped numbers with typed
+    placeholder tokens; report per-document match counts.  Order matters:
+    emails first (an address can contain digits), then IPs, then phones.
+    Pure Catalyst regexp expressions — JVM-side, no UDFs."""
+    t = F.col(text_col)
+    n_email = F.size(F.regexp_extract_all(t, F.lit(PII_EMAIL_RE), 0))
+    masked1 = F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>")
+    n_ip = F.size(F.regexp_extract_all(masked1, F.lit(PII_IPV4_RE), 0))
+    masked2 = F.regexp_replace(masked1, PII_IPV4_RE, "<IP>")
+    n_phone = F.size(F.regexp_extract_all(masked2, F.lit(PII_PHONE_RE), 0))
+    masked3 = F.regexp_replace(masked2, PII_PHONE_RE, "<PHONE>")
+    return (
+        df.withColumn("masked_text", masked3)
+        .withColumn("n_emails", n_email.cast("long"))
+        .withColumn("n_ips", n_ip.cast("long"))
+        .withColumn("n_phones", n_phone.cast("long"))
+    )

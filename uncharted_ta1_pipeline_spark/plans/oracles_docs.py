@@ -454,3 +454,69 @@ ranked AS (
 )
 SELECT query_id, neighbor_id, cosine, rk FROM ranked WHERE rk <= 10
 """
+
+
+# Gopher-style repetition signals: dup-word / dup-2gram fractions and the
+# top-2gram share, per document — list-lambda twin of
+# functions/docf.py:repetition_features.
+ORACLES_DOCS["repetition"] = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+),
+b AS (
+  SELECT doc_id, words,
+         list_transform(range(1, len(words)),
+                        i -> words[i] || ' ' || words[i+1]) AS bigrams
+  FROM w
+)
+SELECT doc_id,
+  CAST(len(words) AS BIGINT) AS n_words,
+  round(1 - len(list_distinct(words)) / len(words), 6) AS dup_word_frac,
+  CASE WHEN len(bigrams) > 0 THEN
+    round(1 - len(list_distinct(bigrams)) / len(bigrams), 6)
+  END AS dup_2gram_frac,
+  CASE WHEN len(bigrams) > 0 THEN
+    round(list_max(list_transform(list_distinct(bigrams),
+                   d -> len(list_filter(bigrams, x -> x = d))))
+          / len(bigrams), 6)
+  END AS top_2gram_share
+FROM b
+"""
+
+# PII masking with the SAME deterministic injection as the Spark query
+# (q_pii_mask).  Patterns are the RE2/Java common subset; DuckDB needs the
+# explicit 'g' flag where Spark's regexp_replace is global by default.
+from uncharted_ta1_pipeline_spark.functions.docf import (  # noqa: E402
+    PII_EMAIL_RE,
+    PII_IPV4_RE,
+    PII_PHONE_RE,
+)
+
+ORACLES_DOCS["pii_mask"] = f"""
+WITH injected AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com at 10.0.' || CAST(doc_id % 200 AS VARCHAR)
+              || '.7 or 555-867-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+  FROM documents
+),
+m1 AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '{PII_EMAIL_RE}')) AS BIGINT)
+           AS n_emails,
+         regexp_replace(text, '{PII_EMAIL_RE}', '<EMAIL>', 'g') AS t
+  FROM injected
+),
+m2 AS (
+  SELECT doc_id, n_emails,
+         CAST(len(regexp_extract_all(t, '{PII_IPV4_RE}')) AS BIGINT) AS n_ips,
+         regexp_replace(t, '{PII_IPV4_RE}', '<IP>', 'g') AS t
+  FROM m1
+)
+SELECT doc_id,
+       regexp_replace(t, '{PII_PHONE_RE}', '<PHONE>', 'g') AS masked_text,
+       n_emails, n_ips,
+       CAST(len(regexp_extract_all(t, '{PII_PHONE_RE}')) AS BIGINT) AS n_phones
+FROM m2
+"""

@@ -114,6 +114,40 @@ def q_doc_fingerprint(spark, sf_dir):
     )
 
 
+def q_repetition(spark, sf_dir):
+    """Gopher-style repetition signals (dup-word / dup-2-gram fraction,
+    top-2-gram share) — the published boilerplate filters for LM corpora."""
+    from uncharted_ta1_pipeline_spark.functions.docf import repetition_features
+
+    return repetition_features(_docs(spark, sf_dir)).select(
+        "doc_id", "n_words", "dup_word_frac", "dup_2gram_frac",
+        "top_2gram_share",
+    )
+
+
+def q_pii_mask(spark, sf_dir):
+    """PII redaction over corpus text with deterministic injected PII
+    (email / IPv4 / phone derived from doc_id) so the masking actually
+    fires — mirrored verbatim in the oracle."""
+    from uncharted_ta1_pipeline_spark.functions.docf import pii_mask
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com at 10.0."),
+            (F.col("doc_id") % 200).cast("string"),
+            F.lit(".7 or 555-867-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    return pii_mask(d).select(
+        "doc_id", "masked_text", "n_emails", "n_ips", "n_phones"
+    )
+
+
 QUERIES_DOCS = {
     "dedup_exact": q_dedup_exact,
     "minhash_signature": q_minhash_signature,
@@ -131,4 +165,6 @@ QUERIES_DOCS = {
     "quality_score": q_quality_score,
     "token_count": q_token_count,
     "doc_fingerprint": q_doc_fingerprint,
+    "repetition": q_repetition,
+    "pii_mask": q_pii_mask,
 }
