@@ -112,3 +112,32 @@ def test_fit_predict_matches_numpy_ols(spark, conv, probes):
         assert g.pred is not None and abs(g.pred - want) < 1.5e-6, (
             pid, g.pred, want,
         )
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    conv=conv_strategy,
+    probes=probe_strategy,
+    chunk=st.sampled_from([2, 3, 5]),
+    bucket=st.sampled_from([60, 3600]),
+)
+def test_fit_predict_bucketed_equals_plain_property(spark, conv, probes, chunk, bucket):
+    """On arbitrary adversarial tiny inputs (ts ties, unordered, probes
+    before first obs) the bucketed fit-predict strategy is bit-equal to the
+    plain one at every chunk/bucket granularity."""
+    from uncharted_ta1_pipeline_spark.operators.asof import fit_predict_at_probes
+
+    obs, pr, _rows, _prows = _mk_frames(spark, conv, probes)
+    plain = {r.probe_id: r for r in fit_predict_at_probes(pr, obs).collect()}
+    bucketed = {
+        r.probe_id: r
+        for r in fit_predict_at_probes(
+            pr, obs, strategy="bucketed", chunk_size=chunk, bucket_s=bucket
+        ).collect()
+    }
+    assert plain.keys() == bucketed.keys()
+    for pid in plain:
+        a, b = plain[pid], bucketed[pid]
+        assert (a.n_obs, a.slope, a.intercept, a.pred) == (
+            b.n_obs, b.slope, b.intercept, b.pred,
+        ), (pid, a, b)
