@@ -68,6 +68,8 @@ _PRIORITY = [
     "featurize_full",       # routing re-measured after r3 regression
     "repetition",           # NEW: Gopher-style repetition quality signals
     "pii_mask",             # NEW: PII redaction (email/IP/phone)
+    "hash_split",           # NEW: deterministic train/val/test assignment
+    "stratified_sample",    # NEW: per-source hash sampling vs broadcast dim
     # tier 2 — rowless since r01/r02 (driver 50-row cap): rotate in, per
     # the rotation policy's promise (VERDICT r3 #4)
     "asof_features_bucketed",

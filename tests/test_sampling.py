@@ -1,0 +1,60 @@
+"""Sampling/split invariants the oracle can't see: partitioning
+invariance (membership never depends on execution layout), salt
+sensitivity, split completeness, and the missing-stratum default."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+
+
+def test_hash_split_partitioning_invariant_and_complete(spark):
+    from uncharted_ta1_pipeline_spark.operators.sampling import hash_split
+
+    d = _docs(spark)
+    a = {r.doc_id: r.split for r in hash_split(d).collect()}
+    b = {
+        r.doc_id: r.split
+        for r in hash_split(d.repartition(13, "source")).collect()
+    }
+    assert a == b, "split assignment moved under repartitioning"
+    assert set(a.values()) <= {"train", "val", "test"}
+    assert len(a) == d.count()
+    # roughly the requested proportions (hash-uniform; generous bounds)
+    n = len(a)
+    train = sum(1 for s in a.values() if s == "train")
+    assert 0.6 * n < train < 0.95 * n
+
+    # additivity: new rows never move existing assignments
+    half = d.filter(F.col("doc_id") % 2 == 0)
+    c = {r.doc_id: r.split for r in hash_split(half).collect()}
+    assert all(a[k] == v for k, v in c.items())
+
+
+def test_hash_split_salt_reshuffles(spark):
+    from uncharted_ta1_pipeline_spark.operators.sampling import hash_split
+
+    d = _docs(spark)
+    a = {r.doc_id: r.split for r in hash_split(d, salt="split-v1").collect()}
+    b = {r.doc_id: r.split for r in hash_split(d, salt="split-v2").collect()}
+    assert a != b, "salt change must produce a different assignment"
+
+
+def test_stratified_sample_missing_stratum_dropped(spark):
+    from uncharted_ta1_pipeline_spark.operators.sampling import stratified_sample
+
+    d = _docs(spark)
+    rates = spark.createDataFrame(
+        [("src0", 1.0), ("src1", 0.0)], "source string, rate double"
+    )
+    out = stratified_sample(d, rates).select("source").distinct().collect()
+    assert {r.source for r in out} == {"src0"}  # rate 0 and missing -> dropped
+    # rate 1.0 keeps every row of its stratum
+    n_src0 = d.filter(F.col("source") == "src0").count()
+    kept = stratified_sample(d, rates).count()
+    assert kept == n_src0

@@ -520,3 +520,30 @@ SELECT doc_id,
        CAST(len(regexp_extract_all(t, '{PII_PHONE_RE}')) AS BIGINT) AS n_phones
 FROM m2
 """
+
+
+# Deterministic hash sampling/splits — md5-uniform twin of
+# operators/sampling.py (same salt, same first-8-hex-chars construction).
+_U_SPLIT = ("CAST(concat('0x', substr(md5('split-v1' || '|' || "
+            "CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) / 4294967296.0")
+ORACLES_DOCS["hash_split"] = f"""
+SELECT doc_id,
+       CASE WHEN {_U_SPLIT} < 0.8 THEN 'train'
+            WHEN {_U_SPLIT} < 0.9 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+_U_SAMPLE = ("CAST(concat('0x', substr(md5('sample-v1' || '|' || "
+             "CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) / 4294967296.0")
+ORACLES_DOCS["stratified_sample"] = f"""
+WITH rates AS (
+  SELECT source,
+         1.0 / (1 + CAST(regexp_extract(source, '(\\d+)', 1) AS INTEGER) % 4)
+           AS rate
+  FROM (SELECT DISTINCT source FROM documents)
+)
+SELECT d.doc_id, d.source, r.rate
+FROM documents d JOIN rates r USING (source)
+WHERE {_U_SAMPLE} < r.rate
+"""

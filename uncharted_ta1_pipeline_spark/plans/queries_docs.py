@@ -148,6 +148,32 @@ def q_pii_mask(spark, sf_dir):
     )
 
 
+def q_hash_split(spark, sf_dir):
+    """Deterministic train/val/test assignment by hashed doc_id — stable
+    under repartitioning and row additions (the split invariant training
+    pipelines rely on)."""
+    from uncharted_ta1_pipeline_spark.operators.sampling import hash_split
+
+    return hash_split(_docs(spark, sf_dir)).select("doc_id", "split")
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Per-source deterministic downsampling against a broadcast rate dim:
+    rate = 1 / (1 + source index mod 4) — several distinct rates so the
+    filter genuinely differs per stratum."""
+    from uncharted_ta1_pipeline_spark.operators.sampling import stratified_sample
+
+    d = _docs(spark, sf_dir)
+    rates = d.select("source").distinct().select(
+        "source",
+        (
+            1.0
+            / (1 + F.regexp_extract("source", r"(\d+)", 1).cast("int") % 4)
+        ).alias("rate"),
+    )
+    return stratified_sample(d, rates).select("doc_id", "source", "rate")
+
+
 QUERIES_DOCS = {
     "dedup_exact": q_dedup_exact,
     "minhash_signature": q_minhash_signature,
@@ -167,4 +193,6 @@ QUERIES_DOCS = {
     "doc_fingerprint": q_doc_fingerprint,
     "repetition": q_repetition,
     "pii_mask": q_pii_mask,
+    "hash_split": q_hash_split,
+    "stratified_sample": q_stratified_sample,
 }
