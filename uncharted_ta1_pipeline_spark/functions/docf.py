@@ -92,10 +92,12 @@ def repetition_features(df, text_col: str = "text"):
     fraction, and the share of 2-grams taken by the most frequent 2-gram.
     High values mark degenerate/boilerplate documents that dedup misses.
 
-    Pure Catalyst array expressions — the per-row top-2-gram count is
-    O(distinct * n) over a single document's words, bounded by document
-    length, never a shuffle.  (Transcript-domain re-expression of the
-    reference's denoising prefilters, tasks/segmentation/denoise.)"""
+    Pure Catalyst array expressions, never a shuffle.  The top-2-gram
+    count is a longest-equal-run scan over the SORTED bigram array —
+    O(n log n) per row, so a pathological 10^5-word document costs ~10^6
+    comparisons, not the 10^10 of the naive distinct x filter form.  (The
+    DuckDB oracle keeps the quadratic form: it only referees small-scale
+    parity, and identical results prove the rewrite.)"""
     t = F.col(text_col)
     words = _words(t)
     n_w = F.size(words)
@@ -105,11 +107,22 @@ def repetition_features(df, text_col: str = "text"):
         lambda a, b: F.concat(a, F.lit(" "), b),
     )
     n_bg = F.size(bigrams)
-    top_bg = F.array_max(
-        F.transform(
-            F.array_distinct(bigrams),
-            lambda d: F.size(F.filter(bigrams, lambda x: x == d)),
+
+    def _run_step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
         )
+
+    top_bg = F.aggregate(
+        F.array_sort(bigrams),
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        _run_step,
+        lambda acc: acc["best"],
     )
     return (
         df.withColumn("n_words", n_w.cast("long"))
