@@ -80,6 +80,12 @@ def run_cluster(
         # executor heap must fit the local-cluster worker grant (mem_mb)
         SPARK_GRAFT_EXEC_MEM=f"{max(mem_mb - 1024, 896)}m",
         SPARK_GRAFT_SHM="0",
+        # session.py sets executor extraJavaOptions itself (builder confs
+        # win over spark-submit --conf), so overrides go through its env
+        # knob; default = -XX:+AlwaysPreTouch (see session.py rationale)
+        **(
+            {"SPARK_GRAFT_EXEC_JAVA_OPTS": java_opts} if java_opts else {}
+        ),
         # identical task slices at both cluster sizes — partition count is
         # held at big-cluster granularity so only executor count varies
         SPARK_GRAFT_SHUFFLE=str(shuffle),
