@@ -62,6 +62,8 @@ _PRIORITY = [
     "dedup_clusters",       # NEW: connected components + canonical keep
     "contamination",        # NEW: benchmark n-gram decontamination
     "tfidf_top_terms",      # NEW: per-doc rarity-weighted top terms
+    "line_dedup",           # NEW: cross-doc line removal + re-assembly
+    "pack_sequences",       # NEW: concat-then-chunk packing offsets
     "asof_fit_predict_bucketed",  # NEW: chunk-bounded stats + bucketed as-of
     "simhash",              # 64-bit production width (was 16-bit)
     "simhash_pairs",        # 4x16-bit bands over the 64-bit signature

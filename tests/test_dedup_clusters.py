@@ -134,3 +134,64 @@ def test_tfidf_top_terms_known_and_ties(spark):
     # doc 2: bird tf=2 df=1 -> 3.0 ; dog 1.0
     assert (rows[(2, 1)].word, rows[(2, 1)].tfidf) == ("bird", 3.0)
     assert (rows[(2, 2)].word, rows[(2, 2)].tfidf) == ("dog", 1.0)
+
+
+def test_line_dedup_removes_cross_doc_boilerplate(spark):
+    """A line shared by 2+ docs is dropped everywhere; within-doc repeats
+    count once toward df; order is preserved; an all-removed doc keeps a
+    row with empty clean_text."""
+    from uncharted_ta1_pipeline_spark.operators.dedup import line_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "keep one\nBOILER\nkeep two"),
+            (2, "BOILER\nunique line"),
+            (3, "BOILER"),                      # everything removed
+            (4, "self\nself\ntail"),            # within-doc repeat survives
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in line_dedup(docs).collect()}
+    assert out[1].clean_text == "keep one\nkeep two"
+    assert (out[1].n_lines, out[1].n_removed) == (3, 1)
+    assert out[2].clean_text == "unique line"
+    assert (out[3].clean_text, out[3].n_lines, out[3].n_removed) == ("", 1, 1)
+    # 'self' appears twice in doc 4 only -> df=1 -> kept, order preserved
+    assert out[4].clean_text == "self\nself\ntail"
+    assert out[4].n_removed == 0
+
+
+def test_pack_sequences_offsets_and_boundaries(spark):
+    """Single shard, budget 10: token stream 4+4+4 -> offsets 0/4/8, the
+    third doc straddles the first boundary; stream order is key order."""
+    from uncharted_ta1_pipeline_spark.operators.sampling import pack_sequences
+
+    docs = spark.createDataFrame(
+        [
+            (1, "w w w w", "s"),
+            (2, "w w w w", "s"),
+            (3, "w w w w", "s"),
+            (4, "w w", "s"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {
+        r.doc_id: r
+        for r in pack_sequences(docs, budget=10, n_shards=1).collect()
+    }
+    assert [out[d].start_offset for d in (1, 2, 3, 4)] == [0, 4, 8, 12]
+    assert [out[d].pack_id for d in (1, 2, 3, 4)] == [0, 0, 0, 1]
+    assert [out[d].spans_boundary for d in (1, 2, 3, 4)] == [0, 0, 1, 0]
+    # assignment is repartition-stable (hash shard + key order, no
+    # execution-order dependence)
+    again = {
+        r.doc_id: r
+        for r in pack_sequences(
+            docs.repartition(7), budget=10, n_shards=1
+        ).collect()
+    }
+    assert all(
+        (out[d].start_offset, out[d].pack_id) ==
+        (again[d].start_offset, again[d].pack_id)
+        for d in (1, 2, 3, 4)
+    )

@@ -600,3 +600,47 @@ def contamination(docs: DataFrame, threshold: float = 0.2) -> DataFrame:
         )
         .select("doc_id", "n_shingles", "n_hits", "overlap_frac", "contaminated")
     )
+
+
+def line_dedup(
+    docs: DataFrame, max_df: int = 1, sep: str = "\n", text_col: str = "text"
+) -> DataFrame:
+    """Line-level boilerplate removal (the CCNet/RefinedWeb pass): a line
+    appearing in more than ``max_df`` DISTINCT documents is dropped from
+    every document; surviving lines are re-assembled in original order.
+
+    Output: (doc_id, clean_text, n_lines, n_removed) — one row per doc,
+    including docs whose every line was removed (clean_text = '').
+
+    Scale: the line-frequency table is one shuffle on the line value (the
+    inverted index); re-assembly is a per-doc sort of an already-grouped
+    small array (array_sort over collect_list, NOT a window) — no
+    corpus-wide ordering anywhere.  A df stop-list cap bounds the join
+    key skew the same way the shingle caps do.
+    """
+    lines = docs.select(
+        "doc_id", F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line")
+    )
+    dfc = (
+        lines.select("doc_id", "line")
+        .distinct()
+        .groupBy("line")
+        .agg(F.count(F.lit(1)).alias("_df"))
+    )
+    j = lines.join(dfc, on="line").withColumn("_keep", F.col("_df") <= max_df)
+    kept_struct = F.when(F.col("_keep"), F.struct("pos", "line"))
+    return (
+        j.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda s: s["line"],
+                ),
+                sep,
+            ).alias("clean_text"),
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum((~F.col("_keep")).cast("long")).alias("n_removed"),
+        )
+        .select("doc_id", "clean_text", "n_lines", "n_removed")
+    )

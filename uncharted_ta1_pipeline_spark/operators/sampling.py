@@ -64,3 +64,69 @@ def stratified_sample(
         df.join(F.broadcast(rates), on=strata_col, how="left")
         .filter(u < F.coalesce(F.col("rate"), F.lit(0.0)))
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int = 512,
+    n_shards: int = 4,
+    strata_col: str = "source",
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "pack-v1",
+) -> DataFrame:
+    """GPT-style concat-then-chunk sequence-packing assignment: within each
+    (stratum, shard), documents are laid end-to-end in key order and the
+    token stream is cut every ``budget`` tokens; each document learns its
+    byte-exact ``start_offset``, its ``pack_id`` (the chunk containing its
+    first token), and whether it straddles a chunk boundary.
+
+    Sharding is the md5-uniform hash of the key — deterministic, stable
+    under repartitioning — so the running-sum window is bounded per
+    (stratum, shard) instead of per stratum: at corpus scale ``n_shards``
+    is sized so each shard's token stream fits one task (the same bounded-
+    window discipline as the chunked featurize path in operators/salt.py).
+    """
+    from pyspark.sql import Window
+
+    shard = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.lit(salt), F.col(key_col).cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(n_shards),
+    )
+    base = df.select(
+        key_col,
+        strata_col,
+        shard.alias("shard"),
+        F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy(strata_col, "shard")
+        .orderBy(key_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return (
+        base.withColumn("start_offset", (cum - F.col("n_tokens")).cast("long"))
+        .withColumn(
+            "pack_id",
+            F.floor(F.col("start_offset") / F.lit(float(budget))).cast("long"),
+        )
+        .withColumn(
+            "spans_boundary",
+            (
+                F.floor(
+                    (F.col("start_offset") + F.col("n_tokens") - 1)
+                    / F.lit(float(budget))
+                )
+                != F.floor(F.col("start_offset") / F.lit(float(budget)))
+            ).cast("long"),
+        )
+    )

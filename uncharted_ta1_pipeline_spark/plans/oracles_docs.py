@@ -170,6 +170,54 @@ SELECT doc_id, n_shingles, n_hits,
 FROM hits
 """
 
+ORACLES_DOCS["line_dedup"] = """
+WITH lines AS (
+  SELECT doc_id, u.i AS pos, ls[u.i + 1] AS line
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents) t,
+       unnest(range(len(ls))) AS u(i)
+),
+dfc AS (
+  SELECT line, count(*) AS dfn
+  FROM (SELECT DISTINCT doc_id, line FROM lines)
+  GROUP BY line
+),
+j AS (
+  SELECT l.doc_id, l.pos, l.line, d.dfn <= 1 AS keep
+  FROM lines l JOIN dfc d ON l.line = d.line
+)
+SELECT doc_id,
+       coalesce(
+         string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY pos), ''
+       ) AS clean_text,
+       count(*) AS n_lines,
+       CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_removed
+FROM j GROUP BY doc_id
+"""
+
+_U_PACK_SHARD = ("CAST(concat('0x', substr(md5('pack-v1' || '|' || "
+                 "CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 4")
+ORACLES_DOCS["pack_sequences"] = f"""
+WITH base AS (
+  SELECT doc_id, source,
+         {_U_PACK_SHARD} AS shard,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT *,
+         sum(n_tokens) OVER (
+           PARTITION BY source, shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM base
+)
+SELECT doc_id, source, shard, n_tokens,
+       CAST(cum - n_tokens AS BIGINT) AS start_offset,
+       CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS pack_id,
+       CAST(floor((cum - 1) / 512.0) != floor((cum - n_tokens) / 512.0)
+            AS BIGINT) AS spans_boundary
+FROM c
+"""
+
 ORACLES_DOCS["tfidf_top_terms"] = """
 WITH words AS (
   SELECT doc_id, u.w AS word

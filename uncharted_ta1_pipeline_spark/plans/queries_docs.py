@@ -194,6 +194,21 @@ def q_tfidf_top_terms(spark, sf_dir):
     return tfidf_top_terms(_docs(spark, sf_dir))
 
 
+def q_line_dedup(spark, sf_dir):
+    """CCNet-style cross-document line removal + ordered re-assembly."""
+    return dd.line_dedup(_docs(spark, sf_dir))
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Concat-then-chunk packing offsets per (source, hash shard)."""
+    from uncharted_ta1_pipeline_spark.operators.sampling import pack_sequences
+
+    return pack_sequences(_docs(spark, sf_dir)).select(
+        "doc_id", "source", "shard", "n_tokens", "start_offset",
+        "pack_id", "spans_boundary",
+    )
+
+
 QUERIES_DOCS = {
     "dedup_exact": q_dedup_exact,
     "minhash_signature": q_minhash_signature,
@@ -218,4 +233,6 @@ QUERIES_DOCS = {
     "dedup_clusters": q_dedup_clusters,
     "contamination": q_contamination,
     "tfidf_top_terms": q_tfidf_top_terms,
+    "line_dedup": q_line_dedup,
+    "pack_sequences": q_pack_sequences,
 }
