@@ -116,3 +116,15 @@ def test_eval_match_uses_equi_join(spark):
     plan = _plan(match_pairs(predictions(t), truths(t)))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pack_sequences_single_exchange_pruned_scan(spark):
+    """Sequence packing is one (source, shard) exchange over a 3-column
+    pruned scan — the whole corpus is touched exactly once."""
+    from uncharted_ta1_pipeline_spark.operators.sampling import pack_sequences
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    plan = _plan(pack_sequences(docs))
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
+    assert plan.count("FileScan") == 1
+    assert "ReadSchema: struct<doc_id:bigint,text:string,source:string>" in plan
