@@ -59,6 +59,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # keeps fresh driver evidence.
 _PRIORITY = [
     # tier 1 — new or changed this round (r4)
+    "bm25_top_terms",       # NEW: Okapi BM25 (linear idf) top terms
+    "domain_mix",           # NEW: target-mix rebalancing rate solve
+    "bleu_fields",          # NEW: BLEU 1/2-gram clipped precisions
+    "url_filter",           # NEW: URL census + domain blocklist decision
+    "oov_rate",             # NEW: OOV rate vs corpus-top-100 vocab
     "dedup_clusters",       # NEW: connected components + canonical keep
     "contamination",        # NEW: benchmark n-gram decontamination
     "tfidf_top_terms",      # NEW: per-doc rarity-weighted top terms

@@ -61,3 +61,87 @@ def test_pii_mask_behaviors(spark):
     assert out[4].masked_text == out[4].text  # clean text is untouched
     assert (out[5].n_emails, out[5].n_ips, out[5].n_phones) == (1, 1, 1)
     assert out[5].masked_text == "mixed <EMAIL> from <IP> dial <PHONE>"
+
+
+def test_bm25_known_values_and_length_normalization(spark):
+    """Hand-computed BM25 (linear idf, k1=1.2, b=0.75) on a 2-doc corpus:
+    N=2, avgdl=2.5; rare terms outrank common ones, and the shorter doc's
+    rare term scores higher than the longer doc's (length normalization)."""
+    from uncharted_ta1_pipeline_spark.functions.docf import bm25_top_terms
+
+    docs = spark.createDataFrame(
+        [(1, "cat cat dog"), (2, "dog bird")],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r.doc_id, r.rank): r for r in bm25_top_terms(docs, k=2).collect()
+    }
+    # doc1: idf(cat)=1.0, denom=2+1.2*(0.25+0.75*3/2.5)=3.38 -> 4.4/3.38
+    assert (rows[(1, 1)].word, rows[(1, 1)].bm25) == ("cat", 1.301775)
+    assert (rows[(1, 2)].word, rows[(1, 2)].bm25) == ("dog", 0.184874)
+    # doc2: denom=1+1.2*(0.25+0.75*2/2.5)=2.02 -> 2.2/2.02
+    assert (rows[(2, 1)].word, rows[(2, 1)].bm25) == ("bird", 1.089109)
+    assert (rows[(2, 2)].word, rows[(2, 2)].bm25) == ("dog", 0.217822)
+    # length normalization: same (tf, df) 'dog' scores higher in shorter doc
+    assert rows[(2, 2)].bm25 > rows[(1, 2)].bm25
+
+
+def test_bleu_clipping_and_empty_overlap(spark):
+    """Clipped counts: a candidate repeating a reference word scores
+    min(cand_count, ref_count), and disjoint bigrams give p2 = 0."""
+    from uncharted_ta1_pipeline_spark.operators.evalm import bleu_precisions
+
+    t = spark.createDataFrame(
+        [
+            # conv 1: cand "the the the" vs ref "the cat"
+            (1, "user", "the cat", 1, 0),
+            (1, "assistant", "the the the", 2, 1),
+            # conv 2: exact match -> p1 = p2 = 1
+            (2, "user", "a b c", 1, 0),
+            (2, "assistant", "a b c", 2, 1),
+            # conv 3: single-word candidate -> no bigrams, p2 null
+            (3, "user", "x", 1, 0),
+            (3, "assistant", "x", 2, 1),
+        ],
+        "conv_id long, role string, text string, ts long, turn_idx long",
+    )
+    rows = {r.conv_id: r for r in bleu_precisions(t).collect()}
+    assert (rows[1].clip1, rows[1].p1) == (1, 0.333333)  # min(3, 1) / 3
+    assert (rows[1].clip2, rows[1].p2) == (0, 0.0)       # 'the the' not in ref
+    assert (rows[2].p1, rows[2].p2) == (1.0, 1.0)
+    assert rows[3].n2 == 0 and rows[3].p2 is None
+    assert rows[3].p1 == 1.0
+
+
+def test_url_filter_outer_survival_and_blocklist(spark):
+    """Docs with no URLs survive with zero counts; one blocked host
+    flips keep; host matching is lowercased."""
+    from uncharted_ta1_pipeline_spark.functions.docf import url_host_filter
+
+    d = spark.createDataFrame(
+        [
+            (1, "no links here"),
+            (2, "see https://Bad.Example.com/x and https://ok.example.org/y"),
+            (3, "only https://ok.example.org/z"),
+        ],
+        "doc_id long, text string",
+    )
+    block = spark.createDataFrame([("bad.example.com",)], "host string")
+    rows = {r.doc_id: r for r in url_host_filter(d, block).collect()}
+    assert (rows[1].n_urls, rows[1].n_blocked, rows[1].keep) == (0, 0, True)
+    assert (rows[2].n_urls, rows[2].n_blocked, rows[2].keep) == (2, 1, False)
+    assert (rows[3].n_urls, rows[3].n_blocked, rows[3].keep) == (1, 0, True)
+
+
+def test_oov_rate_vocab_cut(spark):
+    """vocab_size=1 keeps only the corpus-top word ('a', freq 3); every
+    other token counts as OOV."""
+    from uncharted_ta1_pipeline_spark.functions.docf import oov_rate
+
+    d = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in oov_rate(d, vocab_size=1).collect()}
+    assert (rows[1].n_tokens, rows[1].n_oov, rows[1].oov_rate) == (3, 1, 0.333333)
+    assert (rows[2].n_tokens, rows[2].n_oov, rows[2].oov_rate) == (2, 1, 0.5)

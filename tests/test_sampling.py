@@ -58,3 +58,24 @@ def test_stratified_sample_missing_stratum_dropped(spark):
     n_src0 = d.filter(F.col("source") == "src0").count()
     kept = stratified_sample(d, rates).count()
     assert kept == n_src0
+
+
+def test_domain_mix_rates_known_solution(spark):
+    """A(6 docs)/B(2 docs) rebalanced to 50/50: T = min(6/.5, 2/.5) = 4,
+    so B (binding) keeps everything at rate 1.0 and A downsamples to
+    0.5*4/6; expected kept counts are 2 and 2."""
+    from uncharted_ta1_pipeline_spark.operators.sampling import domain_mix_rates
+
+    d = spark.createDataFrame(
+        [(i, "A" if i < 6 else "B") for i in range(8)],
+        "doc_id long, source string",
+    )
+    targets = spark.createDataFrame(
+        [("A", 0.5), ("B", 0.5)], "source string, target_share double"
+    )
+    rows = {r.source: r for r in domain_mix_rates(d, targets).collect()}
+    assert rows["B"].rate == 1.0 and rows["B"].expected_docs == 2
+    assert rows["A"].rate == 0.333333 and rows["A"].expected_docs == 2
+    assert rows["A"].natural_share == 0.75 and rows["B"].natural_share == 0.25
+    # rates are a feasible no-upsampling plan: every rate <= 1.0
+    assert all(r.rate <= 1.0 for r in rows.values())

@@ -172,6 +172,69 @@ def pii_mask(df, text_col: str = "text"):
     )
 
 
+def bm25_top_terms(
+    df, k: int = 3, k1: float = 1.2, b: float = 0.75, text_col: str = "text"
+):
+    """Top-``k`` BM25-weighted terms per document (Robertson/Sparck Jones
+    Okapi BM25 — the standard retrieval/quality-weighting score LM data
+    pipelines use to rank salient terms and score doc-query relevance).
+
+    score = idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)), with the
+    LINEAR idf variant idf = (N - df + 0.5) / (df + 0.5) instead of its
+    log for the same reason as :func:`tfidf_top_terms`: ``ln`` is not
+    correctly rounded and the last ulp differs between JVM Math.log and
+    DuckDB libm; linear idf is monotone in df so per-doc ranking is
+    unchanged.  avgdl is an exact integer sum over doc lengths divided
+    once, so both engines compute the identical double.
+
+    Scale: tf is a map-side-combinable (doc, word) count; dl aggregates
+    the same exploded stream per doc; df aggregates the tf table; the
+    (N, avgdl) stats are a broadcast single row.  The df join shuffles on
+    word (vocabulary-sized, NOT forced broadcast); the per-doc top-k
+    window has small groups.  Same plan skeleton as tf-idf plus one
+    doc-length join on doc_id."""
+    from pyspark.sql import Window
+
+    words = df.select(
+        "doc_id", F.explode(_words(F.col(text_col))).alias("word")
+    ).filter(F.col("word") != "")
+    tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    dl = words.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    dfc = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("_n"), F.sum("dl").alias("_tot")
+    )
+    scored = (
+        tf.join(dfc, on="word")
+        .join(dl, on="doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "bm25",
+            F.round(
+                (F.col("_n") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5)
+                * (F.col("tf") * (k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + k1
+                    * (
+                        1.0
+                        - b
+                        + b * F.col("dl") / (F.col("_tot") / F.col("_n"))
+                    )
+                ),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("bm25"), F.asc("word"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "word", "tf", "dl", "df", "bm25", "rank")
+    )
+
+
 def tfidf_top_terms(df, k: int = 3, text_col: str = "text"):
     """Top-``k`` rarity-weighted terms per document.
 
@@ -214,4 +277,69 @@ def tfidf_top_terms(df, k: int = 3, text_col: str = "text"):
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("doc_id", "word", "tf", "df", "tfidf", "rank")
+    )
+
+
+# URL/domain filtering: the blocklist pass web-corpus pipelines (C4, CCNet,
+# RefinedWeb) run before anything else.  RE2/Java common-subset pattern so
+# Spark and DuckDB extract identical spans.
+URL_RE = r"https?://[A-Za-z0-9.-]+[A-Za-z0-9./_%-]*"
+HOST_RE = r"https?://([A-Za-z0-9.-]+)"
+
+
+def url_host_filter(df, blocklist, text_col: str = "text"):
+    """Per-document URL census + blocklist decision: extract every URL,
+    derive its lowercased host, flag hosts present in ``blocklist`` (a
+    (host:string) dim — tiny, broadcast), and aggregate to one row per
+    document with ``n_urls``, ``n_blocked``, and the keep decision
+    (``n_blocked = 0``).  Documents with no URLs survive with zero counts
+    (explode_outer).  Pure Catalyst regexps + a broadcast left join + a
+    map-side-combinable count — one corpus scan, no corpus shuffle beyond
+    the per-doc aggregation."""
+    urls = df.select(
+        "doc_id",
+        F.explode_outer(
+            F.regexp_extract_all(F.col(text_col), F.lit(URL_RE), 0)
+        ).alias("url"),
+    ).withColumn("host", F.lower(F.regexp_extract("url", HOST_RE, 1)))
+    flagged = urls.join(
+        F.broadcast(blocklist.withColumn("_blocked", F.lit(1))),
+        on="host",
+        how="left",
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count("url").cast("long").alias("n_urls"),
+        F.count("_blocked").cast("long").alias("n_blocked"),
+        (F.count("_blocked") == 0).alias("keep"),
+    )
+
+
+def oov_rate(df, vocab_size: int = 100, text_col: str = "text"):
+    """Out-of-vocabulary rate per document against a corpus-derived vocab:
+    the top ``vocab_size`` words by (frequency desc, word asc).  The OOV
+    rate is the standard tokenizer-coverage diagnostic run before training
+    (and before committing to a vocab).
+
+    Scale: word counts are one map-side-combinable shuffle on word
+    (vocabulary-sized output, NOT corpus-sized); the top-k is a bounded
+    TakeOrdered over that vocab table; the resulting ``vocab_size``-row
+    dim broadcasts back onto the exploded token stream, and the per-doc
+    aggregation map-side combines.  No corpus-sized sort anywhere."""
+    words = df.select(
+        "doc_id", F.explode(_words(F.col(text_col))).alias("word")
+    ).filter(F.col("word") != "")
+    vocab = (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("_wc"))
+        .orderBy(F.desc("_wc"), F.asc("word"))
+        .limit(vocab_size)
+        .select("word", F.lit(1).alias("_in_vocab"))
+    )
+    tagged = words.join(F.broadcast(vocab), on="word", how="left")
+    return tagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        (F.count(F.lit(1)) - F.count("_in_vocab")).cast("long").alias("n_oov"),
+        F.round(
+            (F.count(F.lit(1)) - F.count("_in_vocab")) / F.count(F.lit(1)), 6
+        ).alias("oov_rate"),
     )

@@ -308,3 +308,89 @@ def eval_f1_deciles(df: DataFrame, radius_s: int = RADIUS_S) -> DataFrame:
         (F.min("f1c").cast("double") / 1_000_000.0).alias("min_f1"),
         (F.max("f1c").cast("double") / 1_000_000.0).alias("max_f1"),
     )
+
+
+def bleu_precisions(df: DataFrame) -> DataFrame:
+    """BLEU modified n-gram precisions (n=1,2) per field: candidate = each
+    conversation's first assistant/tool turn text, reference = its first
+    user turn text — the same pairing as :func:`meteor_per_field`, giving
+    the eval harness the second standard MT-style metric (Papineni et al.
+    2002).  Emits the clipped-count rationals (p1, p2) plus the raw
+    lengths; the brevity penalty's ``exp`` is left to consumers because
+    transcendentals are not bit-portable across engines (same policy as
+    the linear-idf tf-idf/BM25 variants in functions/docf.py).
+
+    Construction is the distributed one — explode n-grams, count per
+    (pair, gram) (map-side combinable), join candidate↔reference counts on
+    the pair+gram key (co-partitioned, one shuffle), sum(min) — never a
+    per-row quadratic multiset intersection, so a 10^5-token field costs
+    O(tokens), not O(tokens²).
+    """
+    w = Window.partitionBy("conv_id", "role").orderBy("ts", "turn_idx")
+    firsts = (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("conv_id", "role", "text")
+    )
+    refs = firsts.filter(F.col("role") == "user").select(
+        "conv_id", F.split("text", " ").alias("_ref")
+    )
+    cands = firsts.filter(F.col("role") != "user").select(
+        "conv_id", F.col("role").alias("field"), F.split("text", " ").alias("_cand")
+    )
+    prs = cands.join(refs, on="conv_id")
+
+    def _bigrams(arr):
+        n = F.size(arr)
+        return F.zip_with(
+            F.slice(arr, 1, F.greatest(n - 1, F.lit(0))),
+            F.slice(arr, 2, F.greatest(n - 1, F.lit(0))),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+
+    def _clip(gram_col_cand, gram_col_ref):
+        cc = (
+            prs.select("conv_id", "field", F.explode(gram_col_cand).alias("g"))
+            .groupBy("conv_id", "field", "g")
+            .agg(F.count(F.lit(1)).alias("cc"))
+        )
+        rc = (
+            prs.select("conv_id", "field", F.explode(gram_col_ref).alias("g"))
+            .groupBy("conv_id", "field", "g")
+            .agg(F.count(F.lit(1)).alias("rc"))
+        )
+        return (
+            cc.join(rc, on=["conv_id", "field", "g"])
+            .groupBy("conv_id", "field")
+            .agg(F.sum(F.least("cc", "rc")).alias("clip"))
+        )
+
+    c1 = _clip(F.col("_cand"), F.col("_ref")).withColumnRenamed("clip", "clip1")
+    c2 = _clip(_bigrams(F.col("_cand")), _bigrams(F.col("_ref"))).withColumnRenamed(
+        "clip", "clip2"
+    )
+    base = prs.select(
+        "conv_id",
+        "field",
+        F.size("_cand").cast("long").alias("n1"),
+        F.greatest(F.size("_cand") - 1, F.lit(0)).cast("long").alias("n2"),
+        F.size("_ref").cast("long").alias("ref_len"),
+    )
+    return (
+        base.join(c1, on=["conv_id", "field"], how="left")
+        .join(c2, on=["conv_id", "field"], how="left")
+        .select(
+            "conv_id",
+            "field",
+            "n1",
+            "n2",
+            "ref_len",
+            F.coalesce("clip1", F.lit(0)).cast("long").alias("clip1"),
+            F.coalesce("clip2", F.lit(0)).cast("long").alias("clip2"),
+            F.round(F.coalesce("clip1", F.lit(0)) / F.col("n1"), 6).alias("p1"),
+            F.when(
+                F.col("n2") > 0,
+                F.round(F.coalesce("clip2", F.lit(0)) / F.col("n2"), 6),
+            ).alias("p2"),
+        )
+    )

@@ -66,6 +66,45 @@ def stratified_sample(
     )
 
 
+def domain_mix_rates(
+    df: DataFrame, targets: DataFrame, strata_col: str = "source"
+) -> DataFrame:
+    """Solve per-stratum sampling rates that rebalance the corpus to a
+    target domain mix — the planning step ahead of
+    :func:`stratified_sample` in every published LM data recipe (e.g. the
+    Pile / LLaMA domain weights).
+
+    Without upsampling, the largest corpus consistent with the target
+    shares keeps ``T = min_s(n_s / share_s)`` documents in total, so
+    ``rate_s = share_s * T / n_s`` (the binding stratum gets rate 1.0,
+    everything else is downsampled proportionally).  ``targets`` is a
+    (strata_col, target_share:double) dim, one row per corpus source.
+
+    Scale: the per-stratum counts are a map-side-combinable groupBy; all
+    later joins are against broadcast singleton/strata-sized frames — no
+    shuffle of the corpus beyond the one count aggregation."""
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    total = counts.agg(F.sum("n_docs").alias("_total"))
+    j = counts.join(F.broadcast(targets), on=strata_col).crossJoin(
+        F.broadcast(total)
+    )
+    t_cap = j.agg(
+        F.min(F.col("n_docs") / F.col("target_share")).alias("_t")
+    )
+    return j.crossJoin(F.broadcast(t_cap)).select(
+        strata_col,
+        "n_docs",
+        F.round(F.col("n_docs") / F.col("_total"), 6).alias("natural_share"),
+        F.round("target_share", 6).alias("target_share"),
+        F.round(
+            F.col("target_share") * F.col("_t") / F.col("n_docs"), 6
+        ).alias("rate"),
+        F.floor(F.col("target_share") * F.col("_t")).cast("long").alias(
+            "expected_docs"
+        ),
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     budget: int = 512,

@@ -241,6 +241,59 @@ ranked AS (
 SELECT doc_id, word, tf, df, tfidf, rank FROM ranked WHERE rank <= 3
 """
 
+ORACLES_DOCS["bm25_top_terms"] = """
+WITH words AS (
+  SELECT doc_id, u.w AS word
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) t,
+       unnest(ws) AS u(w)
+  WHERE u.w <> ''
+),
+tf AS (SELECT doc_id, word, count(*) AS tf FROM words GROUP BY doc_id, word),
+dl AS (SELECT doc_id, count(*) AS dl FROM words GROUP BY doc_id),
+dfc AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+stats AS (SELECT count(*) AS n, sum(dl) AS tot FROM dl),
+scored AS (
+  SELECT t.doc_id, t.word, t.tf, l.dl, d.df,
+         round((s.n - d.df + 0.5) / (d.df + 0.5)
+               * (t.tf * 2.2)
+               / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / (s.tot / s.n))),
+               6) AS bm25
+  FROM tf t
+  JOIN dfc d ON t.word = d.word
+  JOIN dl l ON t.doc_id = l.doc_id, stats s
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY bm25 DESC, word ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, word, tf, dl, df, bm25, rank FROM ranked WHERE rank <= 3
+"""
+
+ORACLES_DOCS["domain_mix"] = """
+WITH w AS (
+  SELECT source,
+         1 + CAST(regexp_extract(source, '(\\d+)', 1) AS INTEGER) % 3 AS w
+  FROM (SELECT DISTINCT source FROM documents)
+),
+targets AS (
+  SELECT source, w / (SELECT sum(w) FROM w) AS target_share FROM w
+),
+counts AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+total AS (SELECT sum(n_docs) AS total FROM counts),
+j AS (
+  SELECT c.source, c.n_docs, t.target_share
+  FROM counts c JOIN targets t USING (source)
+),
+cap AS (SELECT min(n_docs / target_share) AS t FROM j)
+SELECT j.source, j.n_docs,
+       round(j.n_docs / total.total, 6) AS natural_share,
+       round(j.target_share, 6) AS target_share,
+       round(j.target_share * cap.t / j.n_docs, 6) AS rate,
+       CAST(floor(j.target_share * cap.t) AS BIGINT) AS expected_docs
+FROM j, cap, total
+"""
+
 ORACLES_DOCS["ngram_jaccard_pairs"] = f"""
 WITH {_SHINGLES},
 dsh AS (SELECT DISTINCT doc_id, sh FROM sh),
@@ -698,4 +751,61 @@ WITH rates AS (
 SELECT d.doc_id, d.source, r.rate
 FROM documents d JOIN rates r USING (source)
 WHERE {_U_SAMPLE} < r.rate
+"""
+
+
+from uncharted_ta1_pipeline_spark.functions.docf import (  # noqa: E402
+    HOST_RE,
+    URL_RE,
+)
+
+ORACLES_DOCS["url_filter"] = f"""
+WITH injected AS (
+  SELECT doc_id,
+         text || ' see https://site' || CAST(doc_id % 50 AS VARCHAR)
+              || '.example.com/p/' || CAST(doc_id AS VARCHAR)
+              || ' and http://m' || CAST(doc_id % 7 AS VARCHAR)
+              || '.example.org/x' AS text
+  FROM documents
+),
+block AS (
+  SELECT 'site' || CAST(g AS VARCHAR) || '.example.com' AS host
+  FROM generate_series(0, 45, 5) AS t(g)
+  UNION ALL SELECT 'm0.example.org'
+),
+urls AS (
+  SELECT doc_id, u.url AS url,
+         lower(regexp_extract(u.url, '{HOST_RE}', 1)) AS host
+  FROM injected, unnest(regexp_extract_all(text, '{URL_RE}')) AS u(url)
+),
+flagged AS (
+  SELECT u.doc_id, u.url,
+         CASE WHEN b.host IS NOT NULL THEN 1 END AS blocked
+  FROM urls u LEFT JOIN block b ON u.host = b.host
+)
+SELECT doc_id, CAST(count(url) AS BIGINT) AS n_urls,
+       CAST(count(blocked) AS BIGINT) AS n_blocked,
+       count(blocked) = 0 AS keep
+FROM flagged GROUP BY doc_id
+"""
+
+ORACLES_DOCS["oov_rate"] = """
+WITH words AS (
+  SELECT doc_id, u.w AS word
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) t,
+       unnest(ws) AS u(w)
+  WHERE u.w <> ''
+),
+wc AS (SELECT word, count(*) AS wc FROM words GROUP BY word),
+vocab AS (
+  SELECT word FROM (
+    SELECT word, row_number() OVER (ORDER BY wc DESC, word ASC) AS rn
+    FROM wc
+  ) WHERE rn <= 100
+)
+SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(count(*) - count(v.word) AS BIGINT) AS n_oov,
+       round((count(*) - count(v.word)) / count(*), 6) AS oov_rate
+FROM words w LEFT JOIN vocab v ON w.word = v.word
+GROUP BY w.doc_id
 """

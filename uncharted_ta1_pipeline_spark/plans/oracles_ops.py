@@ -1194,3 +1194,64 @@ FROM nj n
 LEFT JOIN transcripts u
   ON u.conv_id = n.conv_id AND u.turn_idx = n.nearest_user_idx
 """
+
+
+ORACLES_OPS["bleu_fields"] = f"""
+{_T},
+firsts AS (
+  SELECT conv_id, role, text FROM (
+    SELECT *, row_number() OVER (PARTITION BY conv_id, role
+                                 ORDER BY ts, turn_idx) AS rn
+    FROM transcripts
+  ) WHERE rn = 1
+),
+prs AS (
+  SELECT c.conv_id, c.role AS field,
+         string_split(c.text, ' ') AS cand, string_split(r.text, ' ') AS ref
+  FROM firsts c JOIN firsts r ON c.conv_id = r.conv_id AND r.role = 'user'
+  WHERE c.role <> 'user'
+),
+uc1 AS (
+  SELECT conv_id, field, u.g AS g, count(*) AS cc
+  FROM prs, unnest(cand) AS u(g) GROUP BY conv_id, field, u.g
+),
+ur1 AS (
+  SELECT conv_id, field, u.g AS g, count(*) AS rc
+  FROM prs, unnest(ref) AS u(g) GROUP BY conv_id, field, u.g
+),
+c1 AS (
+  SELECT conv_id, field, CAST(sum(least(cc, rc)) AS BIGINT) AS clip1
+  FROM uc1 JOIN ur1 USING (conv_id, field, g) GROUP BY conv_id, field
+),
+uc2 AS (
+  SELECT conv_id, field, cand[t.i] || ' ' || cand[t.i + 1] AS g,
+         count(*) AS cc
+  FROM prs, unnest(generate_series(1, len(cand) - 1)) AS t(i)
+  GROUP BY conv_id, field, g
+),
+ur2 AS (
+  SELECT conv_id, field, ref[t.i] || ' ' || ref[t.i + 1] AS g,
+         count(*) AS rc
+  FROM prs, unnest(generate_series(1, len(ref) - 1)) AS t(i)
+  GROUP BY conv_id, field, g
+),
+c2 AS (
+  SELECT conv_id, field, CAST(sum(least(cc, rc)) AS BIGINT) AS clip2
+  FROM uc2 JOIN ur2 USING (conv_id, field, g) GROUP BY conv_id, field
+),
+base AS (
+  SELECT conv_id, field,
+         CAST(len(cand) AS BIGINT) AS n1,
+         CAST(greatest(len(cand) - 1, 0) AS BIGINT) AS n2,
+         CAST(len(ref) AS BIGINT) AS ref_len
+  FROM prs
+)
+SELECT b.conv_id, b.field, b.n1, b.n2, b.ref_len,
+       coalesce(c1.clip1, 0) AS clip1,
+       coalesce(c2.clip2, 0) AS clip2,
+       round(coalesce(c1.clip1, 0) / b.n1, 6) AS p1,
+       CASE WHEN b.n2 > 0 THEN round(coalesce(c2.clip2, 0) / b.n2, 6) END AS p2
+FROM base b
+LEFT JOIN c1 ON b.conv_id = c1.conv_id AND b.field = c1.field
+LEFT JOIN c2 ON b.conv_id = c2.conv_id AND b.field = c2.field
+"""

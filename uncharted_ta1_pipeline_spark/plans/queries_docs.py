@@ -194,6 +194,72 @@ def q_tfidf_top_terms(spark, sf_dir):
     return tfidf_top_terms(_docs(spark, sf_dir))
 
 
+def q_bm25_top_terms(spark, sf_dir):
+    """Okapi BM25 (linear-idf variant) top terms per document."""
+    from uncharted_ta1_pipeline_spark.functions.docf import bm25_top_terms
+
+    return bm25_top_terms(_docs(spark, sf_dir))
+
+
+def q_domain_mix(spark, sf_dir):
+    """Target-mix rebalancing plan: per-source rates that reshape the
+    corpus to target shares proportional to 1 + (source index mod 3),
+    capped by no-upsampling feasibility."""
+    from uncharted_ta1_pipeline_spark.operators.sampling import domain_mix_rates
+
+    d = _docs(spark, sf_dir)
+    w = d.select("source").distinct().select(
+        "source",
+        (1 + F.regexp_extract("source", r"(\d+)", 1).cast("int") % 3).alias(
+            "_w"
+        ),
+    )
+    tot = w.agg(F.sum("_w").alias("_tw"))
+    targets = w.crossJoin(F.broadcast(tot)).select(
+        "source", (F.col("_w") / F.col("_tw")).alias("target_share")
+    )
+    return domain_mix_rates(d, targets)
+
+
+def q_url_filter(spark, sf_dir):
+    """URL census + domain blocklist decision over corpus text with
+    deterministic injected URLs (derived from doc_id, mirrored verbatim in
+    the oracle) so extraction and blocking actually fire; blocklist =
+    site{0,5,..,45}.example.com + m0.example.org, built as a broadcast dim."""
+    from uncharted_ta1_pipeline_spark.functions.docf import url_host_filter
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" see https://site"),
+            (F.col("doc_id") % 50).cast("string"),
+            F.lit(".example.com/p/"),
+            F.col("doc_id").cast("string"),
+            F.lit(" and http://m"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.org/x"),
+        ).alias("text"),
+    )
+    block = (
+        spark.range(0, 50, 5)
+        .select(
+            F.concat(
+                F.lit("site"), F.col("id").cast("string"), F.lit(".example.com")
+            ).alias("host")
+        )
+        .union(spark.createDataFrame([("m0.example.org",)], "host string"))
+    )
+    return url_host_filter(d, block)
+
+
+def q_oov_rate(spark, sf_dir):
+    """Out-of-vocabulary rate per doc vs the corpus top-100 vocabulary."""
+    from uncharted_ta1_pipeline_spark.functions.docf import oov_rate
+
+    return oov_rate(_docs(spark, sf_dir))
+
+
 def q_line_dedup(spark, sf_dir):
     """CCNet-style cross-document line removal + ordered re-assembly."""
     return dd.line_dedup(_docs(spark, sf_dir))
@@ -233,6 +299,10 @@ QUERIES_DOCS = {
     "dedup_clusters": q_dedup_clusters,
     "contamination": q_contamination,
     "tfidf_top_terms": q_tfidf_top_terms,
+    "bm25_top_terms": q_bm25_top_terms,
+    "domain_mix": q_domain_mix,
+    "url_filter": q_url_filter,
+    "oov_rate": q_oov_rate,
     "line_dedup": q_line_dedup,
     "pack_sequences": q_pack_sequences,
 }

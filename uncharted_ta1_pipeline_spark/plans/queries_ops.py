@@ -319,3 +319,14 @@ def q_datum_shift(spark, sf_dir):
 
 
 QUERIES_OPS["datum_shift"] = q_datum_shift
+
+
+def q_bleu_fields(spark, sf_dir):
+    """BLEU modified 1/2-gram precisions per field (candidate = first
+    assistant/tool turn, reference = first user turn), rational form."""
+    from uncharted_ta1_pipeline_spark.operators.evalm import bleu_precisions
+
+    return bleu_precisions(_t(spark, sf_dir))
+
+
+QUERIES_OPS["bleu_fields"] = q_bleu_fields
