@@ -59,6 +59,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # keeps fresh driver evidence.
 _PRIORITY = [
     # tier 1 — new or changed this round (r4)
+    "lm_score",             # NEW: corpus-bigram LM fluency (CCNet-style)
+    "role_entropy",         # NEW: per-conv role-transition concentration
+    "gap_quantiles",        # NEW: inter-turn gap quantiles + Tukey fence
     "bm25_top_terms",       # NEW: Okapi BM25 (linear idf) top terms
     "domain_mix",           # NEW: target-mix rebalancing rate solve
     "bleu_fields",          # NEW: BLEU 1/2-gram clipped precisions

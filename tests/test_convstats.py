@@ -1,0 +1,105 @@
+"""Edge-case tests for the conversation-profile and LM-fluency operators
+(oracle parity at sf0.001 is covered by test_core_queries' parametrize)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pyspark.sql.functions as F
+
+from uncharted_ta1_pipeline_spark.functions.docf import lm_score
+from uncharted_ta1_pipeline_spark.operators.convstats import (
+    gap_quantile_features,
+    role_transition_profile,
+)
+
+
+def _t(spark, rows):
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, ts timestamp"
+    )
+
+
+TS0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+
+
+def _ts(s: float) -> dt.datetime:
+    return TS0 + dt.timedelta(seconds=s)
+
+
+def test_role_profile_dominant_tie_break_and_exclusion(spark):
+    # c1: u>a and a>u once each -> tie broken lexicographically ('a>u' wins);
+    # c2: single turn -> no transitions -> excluded entirely.
+    rows = [
+        ("c1", 0, "user", _ts(0)),
+        ("c1", 1, "assistant", _ts(1)),
+        ("c1", 2, "user", _ts(2)),
+        ("c2", 0, "user", _ts(0)),
+    ]
+    out = role_transition_profile(_t(spark, rows)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.conv_id == "c1"
+    assert r.n_transitions == 2 and r.n_distinct == 2
+    assert r.dominant_transition == "assistant>user"
+    assert r.dominant_share == 0.5
+    assert r.hhi == 0.5 and r.eff_transitions == 2.0
+
+
+def test_role_profile_single_transition_concentration(spark):
+    rows = [
+        ("c1", 0, "user", _ts(0)),
+        ("c1", 1, "tool", _ts(1)),
+        ("c1", 2, "tool", _ts(2)),
+    ]
+    # transitions: user>tool, tool>tool -> hhi = (1/2)^2 * 2 = 0.5
+    r = role_transition_profile(_t(spark, rows)).collect()[0]
+    assert r.n_transitions == 2 and r.hhi == 0.5
+
+
+def test_gap_quantiles_fence(spark):
+    # gaps 1, 1, 1, 100 -> p25=1, p75 = 1+0.75*99... exact interpolation:
+    # sorted [1,1,1,100], h=(n-1)p: p25 h=0.75 -> 1; p75 h=2.25 -> 1+0.25*99
+    rows = [
+        ("c1", 0, "user", _ts(0)),
+        ("c1", 1, "user", _ts(1)),
+        ("c1", 2, "user", _ts(2)),
+        ("c1", 3, "user", _ts(3)),
+        ("c1", 4, "user", _ts(103)),
+    ]
+    r = gap_quantile_features(_t(spark, rows)).collect()[0]
+    assert r.n_gaps == 4
+    assert r.p25_gap_s == 1.0
+    assert r.p75_gap_s == 25.75
+    assert r.iqr_gap_s == 24.75
+    # fence = 25.75 + 1.5*24.75 = 62.875 -> only the 100s gap exceeds
+    assert r.outlier_share == 0.25
+
+
+def test_lm_score_excludes_token_poor_docs_and_scores_fluency(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat"),
+            (2, "the cat sat"),
+            (3, "zq"),            # single token -> no bigrams -> excluded
+            (4, ""),              # empty -> excluded
+            (5, "cat the zz"),    # rare bigrams -> less fluent
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in lm_score(docs).collect()}
+    assert set(out) == {1, 2, 5}
+    assert out[1].n_bigrams == 2
+    # identical docs score identically; the rare-bigram doc is less fluent
+    assert out[1].mean_inv_prob == out[2].mean_inv_prob
+    assert out[5].mean_inv_prob > out[1].mean_inv_prob
+    assert out[5].mean_cond_prob < out[1].mean_cond_prob
+
+
+def test_lm_score_plan_has_no_cartesian_and_broadcasts_scalar(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "b c d")], "doc_id long, text string"
+    )
+    plan = lm_score(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan

@@ -1,0 +1,141 @@
+"""Conversation-level profile features: role-transition concentration and
+inter-turn gap quantiles.
+
+The north-star names "role-transition features" as a first-class output of
+the feature factory; `windows.with_lag_lead` emits the per-TURN transition
+label (the analog of the reference's adjacent-block pairing,
+/root/reference/tasks/geo_referencing/coordinates_extractor.py:509-539).
+This module adds the per-CONVERSATION aggregate profile over those labels —
+the summary a corpus-curation / model-analysis pass consumes (mix of
+user->assistant vs tool-loop traffic, burstiness of turn timing).
+
+Determinism contract (shared with every oracle-checked operator here):
+no transcendental functions.  JVM ``Math.log`` and DuckDB's libm ``ln``
+are not correctly rounded and can disagree in the last ulp, so instead of
+Shannon entropy we report the Simpson concentration (HHI) and its inverse
+("effective number of transitions") — rational in the transition counts,
+hence bit-identical across engines after round(6).  Same reasoning as the
+linear-idf variants in functions/docf.py (tfidf/bm25).
+
+Scale notes: the lag window partitions by conversation — same shape as
+``with_lag_lead``; conversations above the hot threshold should be routed
+through the chunked machinery in operators/salt.py exactly as
+featurize_hybrid does.  Everything after the lag is a two-level groupBy
+with map-side combine on bounded keys (≤ |roles|² = 9 transitions per
+conversation), so the aggregate stages carry no skew regardless of
+conversation length.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+_ORD = ("ts", "turn_idx")
+
+
+def role_transition_profile(df: DataFrame) -> DataFrame:
+    """Per-conversation role-transition profile.
+
+    Output: conv_id, n_transitions, n_distinct, dominant_transition
+    (max count, ties broken lexicographically smallest), dominant_share,
+    hhi = Σ(c/N)² (Simpson concentration), eff_transitions = 1/hhi.
+    Conversations with a single turn have no transitions and are excluded
+    (matches the oracle's inner join on the transition stream).
+    """
+    w = Window.partitionBy("conv_id").orderBy(*_ORD)
+    tr = (
+        df.withColumn("_prev_role", F.lag("role").over(w))
+        .filter(F.col("_prev_role").isNotNull())
+        .select(
+            "conv_id",
+            F.concat_ws(">", "_prev_role", "role").alias("transition"),
+        )
+    )
+    cnt = tr.groupBy("conv_id", "transition").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    # min over struct(-count, transition) == (count DESC, transition ASC)
+    dom = F.min(
+        F.struct((-F.col("c")).alias("nc"), F.col("transition").alias("t"))
+    )
+    n = F.col("n_transitions")
+    return (
+        cnt.groupBy("conv_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_transitions"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct"),
+            dom.alias("_dom"),
+            F.sum(F.col("c") * F.col("c")).cast("long").alias("_ss"),
+        )
+        .select(
+            "conv_id",
+            "n_transitions",
+            "n_distinct",
+            F.col("_dom.t").alias("dominant_transition"),
+            F.round((-F.col("_dom.nc")).cast("double") / n, 6).alias(
+                "dominant_share"
+            ),
+            F.round(F.col("_ss").cast("double") / (n * n), 6).alias("hhi"),
+            F.round((n * n).cast("double") / F.col("_ss"), 6).alias(
+                "eff_transitions"
+            ),
+        )
+    )
+
+
+def gap_quantile_features(df: DataFrame, fence_k: float = 1.5) -> DataFrame:
+    """Per-conversation inter-turn-gap quantiles + Tukey-fence outlier share.
+
+    gap_s = seconds between consecutive turns (stable (ts, turn_idx) order).
+    Output: conv_id, n_gaps, p25/p50/p75 (exact linearly-interpolated
+    percentiles — Spark ``percentile`` and DuckDB ``quantile_cont`` share
+    the h = (n-1)p formula), iqr, and outlier_share = fraction of gaps
+    above p75 + ``fence_k``·iqr (the classic boxplot fence; flags bursty
+    conversations whose timing features need winsorizing downstream).
+
+    Two aggregation passes over the gap stream (quantiles, then the share
+    against the per-conv fence) — the fence join shuffles on conv_id, the
+    same key the gaps were grouped on, so AQE coalesces it into the
+    existing exchange.  Single-turn conversations have no gaps and are
+    excluded.
+    """
+    w = Window.partitionBy("conv_id").orderBy(*_ORD)
+    g = (
+        df.withColumn("_us", F.unix_micros("ts"))
+        .withColumn("_prev", F.lag("_us").over(w))
+        .filter(F.col("_prev").isNotNull())
+        .select(
+            "conv_id",
+            ((F.col("_us") - F.col("_prev")) / 1_000_000.0).alias("gap_s"),
+        )
+    )
+    q = g.groupBy("conv_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.expr("percentile(gap_s, 0.25)").alias("_p25"),
+        F.expr("percentile(gap_s, 0.5)").alias("_p50"),
+        F.expr("percentile(gap_s, 0.75)").alias("_p75"),
+    )
+    fence = F.col("_p75") + fence_k * (F.col("_p75") - F.col("_p25"))
+    out = (
+        g.join(q, on="conv_id")
+        .groupBy("conv_id")
+        .agg(
+            F.max("n_gaps").alias("n_gaps"),
+            F.max("_p25").alias("_p25"),
+            F.max("_p50").alias("_p50"),
+            F.max("_p75").alias("_p75"),
+            F.sum((F.col("gap_s") > fence).cast("long")).alias("_n_out"),
+        )
+    )
+    return out.select(
+        "conv_id",
+        "n_gaps",
+        F.round("_p25", 6).alias("p25_gap_s"),
+        F.round("_p50", 6).alias("p50_gap_s"),
+        F.round("_p75", 6).alias("p75_gap_s"),
+        F.round(F.col("_p75") - F.col("_p25"), 6).alias("iqr_gap_s"),
+        F.round(F.col("_n_out").cast("double") / F.col("n_gaps"), 6).alias(
+            "outlier_share"
+        ),
+    )

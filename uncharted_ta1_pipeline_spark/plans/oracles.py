@@ -235,3 +235,66 @@ FROM final
 
 # Same semantics, different Spark physical strategy — one oracle text.
 ORACLES["asof_fit_predict_bucketed"] = ORACLES["asof_fit_predict"]
+
+ORACLES["role_entropy"] = f"""
+{_T},
+tr AS (
+  SELECT conv_id, concat(prev_role, '>', role) AS transition
+  FROM (
+    SELECT conv_id, role, lag(role) OVER ({_ORD}) AS prev_role
+    FROM transcripts
+  ) WHERE prev_role IS NOT NULL
+),
+cnt AS (
+  SELECT conv_id, transition, count(*) AS c FROM tr GROUP BY conv_id, transition
+),
+dom AS (
+  SELECT conv_id, transition, c,
+         row_number() OVER (PARTITION BY conv_id
+                            ORDER BY c DESC, transition ASC) AS rn
+  FROM cnt
+),
+agg AS (
+  SELECT conv_id, CAST(sum(c) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS k,
+         CAST(sum(c * c) AS BIGINT) AS ss
+  FROM cnt GROUP BY conv_id
+)
+SELECT a.conv_id,
+       a.n AS n_transitions,
+       a.k AS n_distinct,
+       d.transition AS dominant_transition,
+       round(d.c * 1.0 / a.n, 6) AS dominant_share,
+       round(a.ss * 1.0 / (a.n * a.n), 6) AS hhi,
+       round(a.n * a.n * 1.0 / a.ss, 6) AS eff_transitions
+FROM agg a JOIN (SELECT * FROM dom WHERE rn = 1) d ON a.conv_id = d.conv_id
+"""
+
+ORACLES["gap_quantiles"] = f"""
+{_T},
+g AS (
+  SELECT conv_id, (us - prev_us) / 1000000.0 AS gap_s
+  FROM (
+    SELECT conv_id, epoch_us(ts) AS us,
+           lag(epoch_us(ts)) OVER ({_ORD}) AS prev_us
+    FROM transcripts
+  ) WHERE prev_us IS NOT NULL
+),
+q AS (
+  SELECT conv_id, CAST(count(*) AS BIGINT) AS n_gaps,
+         quantile_cont(gap_s, 0.25) AS p25,
+         quantile_cont(gap_s, 0.5)  AS p50,
+         quantile_cont(gap_s, 0.75) AS p75
+  FROM g GROUP BY conv_id
+)
+SELECT g.conv_id,
+       max(q.n_gaps) AS n_gaps,
+       round(max(q.p25), 6) AS p25_gap_s,
+       round(max(q.p50), 6) AS p50_gap_s,
+       round(max(q.p75), 6) AS p75_gap_s,
+       round(max(q.p75) - max(q.p25), 6) AS iqr_gap_s,
+       round(sum(CASE WHEN g.gap_s > q.p75 + 1.5 * (q.p75 - q.p25)
+                      THEN 1 ELSE 0 END) * 1.0 / max(q.n_gaps), 6)
+         AS outlier_share
+FROM g JOIN q ON g.conv_id = q.conv_id
+GROUP BY g.conv_id
+"""

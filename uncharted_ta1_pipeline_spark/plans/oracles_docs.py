@@ -809,3 +809,29 @@ SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
 FROM words w LEFT JOIN vocab v ON w.word = v.word
 GROUP BY w.doc_id
 """
+
+ORACLES_DOCS["lm_score"] = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+  FROM documents
+),
+bg AS (
+  -- consecutive token pairs via 1-based list indexing (this DuckDB build
+  -- lacks UNNEST ... WITH ORDINALITY); range(1, len) is empty when len < 2
+  SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+  FROM toks, unnest(range(1, len(ws))) AS r(i)
+),
+c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2),
+c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+v AS (SELECT count(DISTINCT w2) AS v FROM bg)
+SELECT b.doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(avg((c1.c1 + v.v) * 1.0 / (c2.c2 + 1)), 6) AS mean_inv_prob,
+       round(avg(c2.c2 * 1.0 / c1.c1), 6) AS mean_cond_prob
+FROM bg b
+JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
+JOIN c1 ON b.w1 = c1.w1
+CROSS JOIN v
+GROUP BY b.doc_id
+"""

@@ -193,6 +193,29 @@ def q_asof_fit_predict_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fit_predict_at_probes(make_probes(t), t, strategy="bucketed")
 
 
+def q_role_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation role-transition concentration profile (dominant
+    transition, Simpson/HHI concentration, effective transition count) —
+    the conversation-level aggregate of the north-star's role-transition
+    features (rational statistics only; see operators/convstats.py)."""
+    from uncharted_ta1_pipeline_spark.operators.convstats import (
+        role_transition_profile,
+    )
+
+    return role_transition_profile(load_transcripts(spark, sf_dir))
+
+
+def q_gap_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation inter-turn-gap quantiles (exact interpolated
+    p25/p50/p75), IQR, and Tukey-fence outlier share — burstiness features
+    for timing-aware curation."""
+    from uncharted_ta1_pipeline_spark.operators.convstats import (
+        gap_quantile_features,
+    )
+
+    return gap_quantile_features(load_transcripts(spark, sf_dir))
+
+
 QUERIES = {
     "ingest_ordered": q_ingest_ordered,
     "asof_fit_predict": q_asof_fit_predict,
@@ -205,4 +228,6 @@ QUERIES = {
     "session_stats": q_session_stats,
     "conv_turn_rate": q_conv_turn_rate,
     "asof_features": q_asof_features,
+    "role_entropy": q_role_entropy,
+    "gap_quantiles": q_gap_quantiles,
 }

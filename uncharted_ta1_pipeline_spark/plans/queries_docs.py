@@ -275,6 +275,14 @@ def q_pack_sequences(spark, sf_dir):
     )
 
 
+def q_lm_score(spark, sf_dir):
+    """Corpus-bigram LM fluency score per document (CCNet-style
+    perplexity-filter analog; rational statistics, see docf.lm_score)."""
+    from uncharted_ta1_pipeline_spark.functions.docf import lm_score
+
+    return lm_score(_docs(spark, sf_dir))
+
+
 QUERIES_DOCS = {
     "dedup_exact": q_dedup_exact,
     "minhash_signature": q_minhash_signature,
@@ -305,4 +313,5 @@ QUERIES_DOCS = {
     "oov_rate": q_oov_rate,
     "line_dedup": q_line_dedup,
     "pack_sequences": q_pack_sequences,
+    "lm_score": q_lm_score,
 }
