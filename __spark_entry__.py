@@ -59,6 +59,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # keeps fresh driver evidence.
 _PRIORITY = [
     # tier 1 — new or changed this round (r4)
+    "training_set",         # NEW: multi-view point-in-time join + audit
+    "training_set_bucketed",  # NEW: hot-key-safe twin (same oracle)
+    "target_encode",        # NEW: leakage-free bucketed target encoding
     "lm_score",             # NEW: corpus-bigram LM fluency (CCNet-style)
     "role_entropy",         # NEW: per-conv role-transition concentration
     "gap_quantiles",        # NEW: inter-turn gap quantiles + Tukey fence

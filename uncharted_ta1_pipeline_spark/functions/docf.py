@@ -398,21 +398,32 @@ def lm_score(df, text_col: str = "text"):
         )
         .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
     )
-    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
-    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
-    v = bg.agg(F.count_distinct("w2").alias("v"))
+    # Reduce to per-doc bigram COUNTS first: the scoring join then moves
+    # |distinct (doc, bigram)| rows instead of every corpus position, and
+    # all corpus statistics derive from the same aggregate, so Catalyst
+    # reuses one exchange for the c2/c1/V branches instead of re-running
+    # the explode per branch (the naive form cost 4 full token scans).
+    doc_bg = bg.groupBy("doc_id", "w1", "w2").agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    c2 = doc_bg.groupBy("w1", "w2").agg(F.sum("k").alias("c2"))
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    v = c2.agg(F.count_distinct("w2").alias("v"))
     scored = (
-        bg.join(c2, on=["w1", "w2"])
+        doc_bg.join(c2, on=["w1", "w2"])
         .join(c1, on="w1")
         .crossJoin(F.broadcast(v))
     )
+    k = F.col("k")
     return scored.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.sum("k").cast("long").alias("n_bigrams"),
         F.round(
-            F.avg((F.col("c1") + F.col("v")).cast("double") / (F.col("c2") + 1)),
+            F.sum(k * (F.col("c1") + F.col("v")).cast("double") / (F.col("c2") + 1))
+            / F.sum("k"),
             6,
         ).alias("mean_inv_prob"),
         F.round(
-            F.avg(F.col("c2").cast("double") / F.col("c1")), 6
+            F.sum(k * F.col("c2").cast("double") / F.col("c1")) / F.sum("k"),
+            6,
         ).alias("mean_cond_prob"),
     )

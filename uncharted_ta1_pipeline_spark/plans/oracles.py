@@ -298,3 +298,95 @@ SELECT g.conv_id,
 FROM g JOIN q ON g.conv_id = q.conv_id
 GROUP BY g.conv_id
 """
+
+ORACLES["training_set"] = f"""
+{_TP},
+turn_state AS (
+  SELECT conv_id, ts, turn_idx, role AS last_role, epoch_us(ts) AS turn_ts_us
+  FROM transcripts
+),
+-- ASOF JOIN on probe_ts >= ts is ambiguous when state rows share a ts; the
+-- engine keeps the LAST by turn_idx, so pre-reduce each view the same way.
+turn_dedup AS (
+  SELECT * EXCLUDE (_rn) FROM (
+    SELECT *, row_number() OVER (PARTITION BY conv_id, ts
+                                 ORDER BY turn_idx DESC) AS _rn
+    FROM turn_state
+  ) WHERE _rn = 1
+),
+tool_state AS (
+  SELECT conv_id, ts, turn_idx, tool AS last_tool, epoch_us(ts) AS tool_ts_us
+  FROM transcripts WHERE tool IS NOT NULL AND tool <> ''
+),
+tool_dedup AS (
+  SELECT * EXCLUDE (_rn) FROM (
+    SELECT *, row_number() OVER (PARTITION BY conv_id, ts
+                                 ORDER BY turn_idx DESC) AS _rn
+    FROM tool_state
+  ) WHERE _rn = 1
+)
+SELECT p.probe_id, p.conv_id,
+       epoch_us(p.probe_ts) AS probe_ts_us,
+       a.last_role, a.turn_ts_us, b.last_tool, b.tool_ts_us,
+       -- null-skipping greatest, spelled out (Spark greatest skips NULLs)
+       CASE WHEN a.turn_ts_us IS NULL THEN b.tool_ts_us
+            WHEN b.tool_ts_us IS NULL THEN a.turn_ts_us
+            WHEN a.turn_ts_us >= b.tool_ts_us THEN a.turn_ts_us
+            ELSE b.tool_ts_us END AS max_feature_ts_us,
+       coalesce(
+         CASE WHEN a.turn_ts_us IS NULL THEN b.tool_ts_us
+              WHEN b.tool_ts_us IS NULL THEN a.turn_ts_us
+              WHEN a.turn_ts_us >= b.tool_ts_us THEN a.turn_ts_us
+              ELSE b.tool_ts_us END <= epoch_us(p.probe_ts),
+         TRUE) AS leak_ok
+FROM probes p
+ASOF LEFT JOIN turn_dedup a
+  ON p.conv_id = a.conv_id AND p.probe_ts >= a.ts
+ASOF LEFT JOIN tool_dedup b
+  ON p.conv_id = b.conv_id AND p.probe_ts >= b.ts
+"""
+
+# Same semantics, bucketed physical strategy — one oracle text.
+ORACLES["training_set_bucketed"] = ORACLES["training_set"]
+
+ORACLES["target_encode"] = f"""
+{_T},
+rows AS (
+  SELECT conv_id, turn_idx, role AS category, signal,
+         -- target quantized to 1e-6: integer sums are exact in any
+         -- accumulation order (double sums can split a round(6) boundary)
+         CAST(floor(signal * 1000000 + 0.5) AS BIGINT) AS sig_q,
+         CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS bucket
+  FROM transcripts
+),
+per AS (
+  SELECT category, bucket, CAST(sum(sig_q) AS BIGINT) AS s,
+         count(signal) AS c
+  FROM rows GROUP BY category, bucket
+),
+perc AS (
+  SELECT category, bucket,
+         sum(s) OVER (PARTITION BY category ORDER BY bucket
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ps,
+         sum(c) OVER (PARTITION BY category ORDER BY bucket
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pc
+  FROM per
+),
+gtot AS (SELECT bucket, sum(s) AS gs, sum(c) AS gc FROM per GROUP BY bucket),
+globc AS (
+  SELECT bucket,
+         sum(gs) OVER (ORDER BY bucket
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS gps,
+         sum(gc) OVER (ORDER BY bucket
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS gpc
+  FROM gtot
+)
+SELECT r.conv_id, r.turn_idx, r.category, r.bucket,
+       CAST(coalesce(p.pc, 0) AS BIGINT) AS te_count,
+       round(p.ps / (p.pc * 1000000.0), 6) AS te_mean,
+       round((coalesce(p.ps, 0) / 1000000.0 + 10.0 * (g.gps / (g.gpc * 1000000.0)))
+             / (coalesce(p.pc, 0) + 10.0), 6) AS te_smooth
+FROM rows r
+JOIN perc p ON r.category = p.category AND r.bucket = p.bucket
+JOIN globc g ON r.bucket = g.bucket
+"""

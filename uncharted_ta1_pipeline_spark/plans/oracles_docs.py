@@ -822,14 +822,18 @@ bg AS (
   SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
   FROM toks, unnest(range(1, len(ws))) AS r(i)
 ),
-c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2),
-c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
-v AS (SELECT count(DISTINCT w2) AS v FROM bg)
+doc_bg AS (
+  SELECT doc_id, w1, w2, count(*) AS k FROM bg GROUP BY doc_id, w1, w2
+),
+c2 AS (SELECT w1, w2, CAST(sum(k) AS BIGINT) AS c2 FROM doc_bg GROUP BY w1, w2),
+c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY w1),
+v AS (SELECT count(DISTINCT w2) AS v FROM c2)
 SELECT b.doc_id,
-       CAST(count(*) AS BIGINT) AS n_bigrams,
-       round(avg((c1.c1 + v.v) * 1.0 / (c2.c2 + 1)), 6) AS mean_inv_prob,
-       round(avg(c2.c2 * 1.0 / c1.c1), 6) AS mean_cond_prob
-FROM bg b
+       CAST(sum(b.k) AS BIGINT) AS n_bigrams,
+       round(sum(b.k * (c1.c1 + v.v) * 1.0 / (c2.c2 + 1)) / sum(b.k), 6)
+         AS mean_inv_prob,
+       round(sum(b.k * c2.c2 * 1.0 / c1.c1) / sum(b.k), 6) AS mean_cond_prob
+FROM doc_bg b
 JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
 JOIN c1 ON b.w1 = c1.w1
 CROSS JOIN v

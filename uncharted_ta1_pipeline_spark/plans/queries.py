@@ -216,6 +216,66 @@ def q_gap_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gap_quantile_features(load_transcripts(spark, sf_dir))
 
 
+def _feature_views(t: DataFrame):
+    turn_view = t.select(
+        "conv_id", "ts", "turn_idx", F.col("role").alias("last_role")
+    )
+    tool_view = t.filter(
+        F.col("tool").isNotNull() & (F.col("tool") != "")
+    ).select("conv_id", "ts", "turn_idx", F.col("tool").alias("last_tool"))
+    return [
+        ("turn", turn_view, "ts", ["last_role"]),
+        ("tool", tool_view, "ts", ["last_tool"]),
+    ]
+
+
+def _training_set(spark: SparkSession, sf_dir: str, strategy: str) -> DataFrame:
+    from uncharted_ta1_pipeline_spark.operators.feature_store import training_set
+
+    t = load_transcripts(spark, sf_dir)
+    out = training_set(
+        make_probes(t),
+        _feature_views(t),
+        key="conv_id",
+        label_ts="probe_ts",
+        strategy=strategy,
+    )
+    return out.select(
+        "probe_id",
+        "conv_id",
+        F.unix_micros(F.col("probe_ts")).alias("probe_ts_us"),
+        "last_role",
+        "turn_ts_us",
+        "last_tool",
+        "tool_ts_us",
+        "max_feature_ts_us",
+        "leak_ok",
+    )
+
+
+def q_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-store point-in-time training set: two feature views as-of
+    joined onto probe labels, with a per-row leakage audit column
+    (max_feature_ts_us / leak_ok).  See operators/feature_store.py."""
+    return _training_set(spark, sf_dir, "plain")
+
+
+def q_training_set_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path twin of ``training_set``: every view joined through the
+    hot-key-safe time-bucketed as-of (same oracle text)."""
+    return _training_set(spark, sf_dir, "bucketed")
+
+
+def q_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free bucketed target encoding of role against signal
+    (strictly-earlier-bucket statistics + m-estimate smoothing)."""
+    from uncharted_ta1_pipeline_spark.operators.feature_store import (
+        target_encode_bucketed,
+    )
+
+    return target_encode_bucketed(load_transcripts(spark, sf_dir))
+
+
 QUERIES = {
     "ingest_ordered": q_ingest_ordered,
     "asof_fit_predict": q_asof_fit_predict,
@@ -230,4 +290,7 @@ QUERIES = {
     "asof_features": q_asof_features,
     "role_entropy": q_role_entropy,
     "gap_quantiles": q_gap_quantiles,
+    "training_set": q_training_set,
+    "training_set_bucketed": q_training_set_bucketed,
+    "target_encode": q_target_encode,
 }
