@@ -59,6 +59,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # keeps fresh driver evidence.
 _PRIORITY = [
     # tier 1 — new or changed this round (r4)
+    "rouge_l",              # NEW: LCS DP in Catalyst + list_reduce oracle
     "training_set",         # NEW: multi-view point-in-time join + audit
     "training_set_bucketed",  # NEW: hot-key-safe twin (same oracle)
     "target_encode",        # NEW: leakage-free bucketed target encoding

@@ -394,3 +394,84 @@ def bleu_precisions(df: DataFrame) -> DataFrame:
             ).alias("p2"),
         )
     )
+
+
+def rouge_l(df: DataFrame, max_tokens: int = 64) -> DataFrame:
+    """ROUGE-L per field (Lin 2004): longest-common-subsequence overlap
+    between candidate (each conversation's first assistant/tool turn) and
+    reference (its first user turn) — the third standard summarization/MT
+    metric beside METEOR and BLEU above, same pairing.
+
+    The LCS is the textbook DP computed entirely in Catalyst: an outer
+    ``aggregate`` over candidate tokens carries the previous DP row as an
+    array<int>; an inner ``aggregate`` over reference positions builds the
+    next row (each cell needs the cell just built, so the inner loop is a
+    sequential fold, not a ``transform``).  No UDF, no shuffle beyond the
+    candidate↔reference pair join.  Both sides are truncated to
+    ``max_tokens`` (default 64) so a pathological field costs a bounded
+    O(max_tokens²) per pair — the same guard the reference applies to its
+    scorer inputs (metadata fields are short).  The DuckDB oracle runs the
+    identical DP via nested list_reduce.
+
+    Emits the rational scores only (P = lcs/|cand|, R = lcs/|ref|,
+    F1 = 2PR/(P+R)) — no transcendental, bit-portable across engines.
+    """
+    w = Window.partitionBy("conv_id", "role").orderBy("ts", "turn_idx")
+    firsts = (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("conv_id", "role", "text")
+    )
+    refs = firsts.filter(F.col("role") == "user").select(
+        "conv_id", F.slice(F.split("text", " "), 1, max_tokens).alias("_ref")
+    )
+    cands = firsts.filter(F.col("role") != "user").select(
+        "conv_id",
+        F.col("role").alias("field"),
+        F.slice(F.split("text", " "), 1, max_tokens).alias("_cand"),
+    )
+    prs = cands.join(refs, on="conv_id")
+    cand, ref = F.col("_cand"), F.col("_ref")
+    m = F.size(ref)
+    zero_row = F.transform(F.sequence(F.lit(0), m), lambda _: F.lit(0))
+
+    def outer_step(prev, i):
+        def inner_step(acc, j):
+            eq = F.element_at(cand, i) == F.element_at(ref, j)
+            val = F.when(eq, F.element_at(prev, j) + 1).otherwise(
+                F.greatest(
+                    F.element_at(prev, j + 1),
+                    F.element_at(acc, F.size(acc)),
+                )
+            )
+            return F.concat(acc, F.array(val))
+
+        return F.aggregate(
+            F.sequence(F.lit(1), m), F.array(F.lit(0)), inner_step
+        )
+
+    lcs = F.element_at(
+        F.aggregate(F.sequence(F.lit(1), F.size(cand)), zero_row, outer_step),
+        m + 1,
+    )
+    out = prs.select(
+        "conv_id",
+        "field",
+        F.size(cand).cast("long").alias("n_cand"),
+        F.size(ref).cast("long").alias("n_ref"),
+        lcs.cast("long").alias("lcs"),
+    )
+    p = F.col("lcs") / F.col("n_cand")
+    r = F.col("lcs") / F.col("n_ref")
+    return out.select(
+        "conv_id",
+        "field",
+        "n_cand",
+        "n_ref",
+        "lcs",
+        F.round(p, 6).alias("rouge_l_p"),
+        F.round(r, 6).alias("rouge_l_r"),
+        F.when(F.col("lcs") == 0, F.lit(0.0))
+        .otherwise(F.round(2 * p * r / (p + r), 6))
+        .alias("rouge_l_f"),
+    )

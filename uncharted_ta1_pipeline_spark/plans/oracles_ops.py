@@ -1255,3 +1255,52 @@ FROM base b
 LEFT JOIN c1 ON b.conv_id = c1.conv_id AND b.field = c1.field
 LEFT JOIN c2 ON b.conv_id = c2.conv_id AND b.field = c2.field
 """
+
+# ROUGE-L: the identical LCS DP via nested list_reduce — the outer fold's
+# element list carries i in every slot so the inner lambda can see it.
+ORACLES_OPS["rouge_l"] = f"""
+{_T},
+firsts AS (
+  SELECT conv_id, role, text FROM (
+    SELECT *, row_number() OVER (PARTITION BY conv_id, role
+                                 ORDER BY ts, turn_idx) AS rn
+    FROM transcripts
+  ) WHERE rn = 1
+),
+prs AS (
+  SELECT c.conv_id, c.role AS field,
+         string_split(c.text, ' ')[1:64] AS cand,
+         string_split(r.text, ' ')[1:64] AS ref
+  FROM firsts c JOIN firsts r ON c.conv_id = r.conv_id AND r.role = 'user'
+  WHERE c.role <> 'user'
+),
+scored AS (
+  SELECT conv_id, field,
+         CAST(len(cand) AS BIGINT) AS n_cand,
+         CAST(len(ref) AS BIGINT) AS n_ref,
+         CAST(list_reduce(
+           list_prepend(
+             list_transform(range(0, len(ref) + 1), z -> 0),
+             list_transform(range(1, len(cand) + 1),
+                            i -> list_transform(range(0, len(ref) + 1), z -> i))
+           ),
+           (prev, irow) -> list_reduce(
+             list_prepend([0], list_transform(range(1, len(ref) + 1),
+                                              j -> [j, irow[1]])),
+             (acc, x) -> list_append(acc,
+                CASE WHEN cand[x[2]] = ref[x[1]]
+                     THEN prev[x[1]] + 1
+                     ELSE greatest(prev[x[1] + 1], acc[len(acc)]) END)
+           )
+         )[len(ref) + 1] AS BIGINT) AS lcs
+  FROM prs
+)
+SELECT conv_id, field, n_cand, n_ref, lcs,
+       round(lcs * 1.0 / n_cand, 6) AS rouge_l_p,
+       round(lcs * 1.0 / n_ref, 6) AS rouge_l_r,
+       CASE WHEN lcs = 0 THEN 0.0
+            ELSE round(2.0 * (lcs * 1.0 / n_cand) * (lcs * 1.0 / n_ref)
+                       / (lcs * 1.0 / n_cand + lcs * 1.0 / n_ref), 6) END
+         AS rouge_l_f
+FROM scored
+"""

@@ -330,3 +330,13 @@ def q_bleu_fields(spark, sf_dir):
 
 
 QUERIES_OPS["bleu_fields"] = q_bleu_fields
+
+
+def q_rouge_l(spark, sf_dir):
+    """ROUGE-L (LCS) per field — pure-Catalyst nested-aggregate DP."""
+    from uncharted_ta1_pipeline_spark.operators.evalm import rouge_l
+
+    return rouge_l(_t(spark, sf_dir))
+
+
+QUERIES_OPS["rouge_l"] = q_rouge_l
