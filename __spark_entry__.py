@@ -60,6 +60,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _PRIORITY = [
     # tier 1 — new or changed this round (r4)
     "rouge_l",              # NEW: LCS DP in Catalyst + list_reduce oracle
+    "curriculum",           # NEW: tie-coherent distributed ntile buckets
     "training_set",         # NEW: multi-view point-in-time join + audit
     "training_set_bucketed",  # NEW: hot-key-safe twin (same oracle)
     "target_encode",        # NEW: leakage-free bucketed target encoding

@@ -169,3 +169,63 @@ def pack_sequences(
             ).cast("long"),
         )
     )
+
+
+def curriculum_buckets(
+    df: DataFrame, n_buckets: int = 10, text_col: str = "text"
+) -> DataFrame:
+    """Curriculum bucket (1..n_buckets, easy→hard by quality score) per
+    document — the assignment pass of curriculum-ordered training
+    (Bengio et al. 2009): schedule high-quality documents first and anneal
+    toward the noisy tail.
+
+    Tie-coherent ntile, distributed: a global ``ntile(n)`` window would
+    funnel the whole corpus through one task AND split equal-score
+    documents across buckets by arbitrary position.  Instead the exact
+    per-value histogram (scores are round(6), so ≤ 1e6+1 distinct
+    micro-unit atoms regardless of corpus size) is built with one bounded
+    groupBy; each atom's rank range follows from a cumulative sum over the
+    histogram (bounded window); the atom's bucket is the ntile bucket of
+    its FIRST rank, computed closed-form from ntile boundary arithmetic
+    (first ``n_total % n`` buckets get one extra row); and the bucket maps
+    back to documents with a join on the quantized score.  All equal-score
+    documents land in the same bucket — the property a curriculum wants.
+
+    Same machinery as eval_f1_deciles (operators/evalm.py), applied as a
+    per-ROW assignment rather than per-bucket aggregates.
+    """
+    from pyspark.sql import Window
+
+    from uncharted_ta1_pipeline_spark.functions.docf import quality_features
+
+    scored = quality_features(df, text_col).select(
+        "doc_id",
+        "quality_score",
+        F.floor(F.col("quality_score") * 1_000_000 + F.lit(0.5))
+        .cast("long")
+        .alias("_qc"),
+    )
+    hist = scored.groupBy("_qc").agg(F.count(F.lit(1)).alias("_cnt"))
+    w_cum = Window.orderBy("_qc").rowsBetween(Window.unboundedPreceding, 0)
+    hist = hist.withColumn("_hi", F.sum("_cnt").over(w_cum)).withColumn(
+        "_lo", F.col("_hi") - F.col("_cnt")
+    )
+    total = hist.agg(F.sum("_cnt").alias("_n"))
+    h = hist.crossJoin(F.broadcast(total))
+    nb = F.lit(n_buckets)
+    base = F.floor(F.col("_n") / nb)  # rows per small bucket
+    rem = F.col("_n") % nb            # first `rem` buckets get base+1
+    r = F.col("_lo") + 1              # the atom's first global rank
+    b1 = base + 1
+    # rank -> ntile bucket, closed form (floor of exact double division;
+    # the otherwise-branch denominator is guarded for the n < n_buckets
+    # case where base = 0 — that branch is then never selected)
+    bucket = F.when(
+        r <= b1 * rem, F.floor((r - 1) / b1) + 1
+    ).otherwise(
+        rem + F.floor((r - 1 - b1 * rem) / F.greatest(base, F.lit(1))) + 1
+    )
+    buckets = h.select("_qc", bucket.cast("long").alias("bucket"))
+    return scored.join(buckets, on="_qc").select(
+        "doc_id", "quality_score", "bucket"
+    )

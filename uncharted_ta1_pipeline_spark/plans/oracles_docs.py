@@ -839,3 +839,46 @@ JOIN c1 ON b.w1 = c1.w1
 CROSS JOIN v
 GROUP BY b.doc_id
 """
+
+ORACLES_DOCS["curriculum"] = f"""
+WITH feat AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         round(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+               / length(text), 6) AS punct_ratio,
+         round(len(list_filter(string_split(lower(text), ' '),
+                               w -> w IN {_MARKERS}))
+               / len(string_split(lower(text), ' ')), 6) AS stop_ratio
+  FROM documents
+),
+scoreq AS (
+  SELECT doc_id,
+         round(least(n_words / 50.0, 1.0) * 0.5
+               + (1 - least(punct_ratio * 10, 1.0)) * 0.3
+               + least(stop_ratio * 10, 1.0) * 0.2, 6) AS quality_score,
+         CAST(floor(round(least(n_words / 50.0, 1.0) * 0.5
+               + (1 - least(punct_ratio * 10, 1.0)) * 0.3
+               + least(stop_ratio * 10, 1.0) * 0.2, 6) * 1000000 + 0.5)
+              AS BIGINT) AS qc
+  FROM feat
+),
+hist AS (SELECT qc, count(*) AS cnt FROM scoreq GROUP BY qc),
+cum AS (
+  SELECT qc, cnt,
+         CAST(sum(cnt) OVER (ORDER BY qc
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS hi
+  FROM hist
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM scoreq),
+buck AS (
+  SELECT qc,
+         CASE WHEN (hi - cnt + 1) <= (floor(n / 10) + 1) * (n % 10)
+              THEN floor((hi - cnt) / (floor(n / 10) + 1)) + 1
+              ELSE n % 10
+                   + floor((hi - cnt - (floor(n / 10) + 1) * (n % 10))
+                           / greatest(floor(n / 10), 1)) + 1 END AS bucket
+  FROM cum CROSS JOIN tot
+)
+SELECT s.doc_id, s.quality_score, CAST(b.bucket AS BIGINT) AS bucket
+FROM scoreq s JOIN buck b ON s.qc = b.qc
+"""

@@ -315,3 +315,16 @@ QUERIES_DOCS = {
     "pack_sequences": q_pack_sequences,
     "lm_score": q_lm_score,
 }
+
+
+def q_curriculum(spark, sf_dir):
+    """Curriculum bucket assignment (tie-coherent distributed ntile over
+    the quality score; see operators/sampling.py)."""
+    from uncharted_ta1_pipeline_spark.operators.sampling import (
+        curriculum_buckets,
+    )
+
+    return curriculum_buckets(_docs(spark, sf_dir))
+
+
+QUERIES_DOCS["curriculum"] = q_curriculum
