@@ -213,3 +213,77 @@ def test_stream_dedup_drops_repeats(spark, tmp_path):
     ).reset_index(drop=True)
     assert len(got) == len(want), (len(got), len(want))
     assert got.reset_index(drop=True).equals(want)
+
+
+def test_stream_asof_matches_batch(spark, tmp_path):
+    """Streaming point-in-time attach == the batch as-of join on the same
+    tagged union, fed as ONE micro-batch (single file + availableNow) so
+    event order is restored inside the batch."""
+    import __spark_entry__ as e
+    from uncharted_ta1_pipeline_spark.sources.transcripts import (
+        load_transcripts,
+        make_probes,
+    )
+    from uncharted_ta1_pipeline_spark.streaming.sessions import stream_asof
+
+    t = load_transcripts(spark, SF_SMOKE)
+    probes = make_probes(t)
+    turns = t.select(
+        "conv_id",
+        F.lit("turn").alias("kind"),
+        F.lit(None).cast("string").alias("probe_id"),
+        "turn_idx",
+        "role",
+        "tool",
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    ps = probes.select(
+        "conv_id",
+        F.lit("probe").alias("kind"),
+        "probe_id",
+        F.lit(None).cast("int").alias("turn_idx"),
+        F.lit(None).cast("string").alias("role"),
+        F.lit(None).cast("string").alias("tool"),
+        F.unix_micros("probe_ts").alias("ts_us"),
+    )
+    src = str(tmp_path / "asof_src")
+    turns.union(ps).coalesce(1).write.parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", "1000"
+    ).parquet(src)
+    q = (
+        stream_asof(stream)
+        .writeStream.format("memory")
+        .queryName("asof_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_asof"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.sql("select * from asof_out")
+        .toPandas()
+        .sort_values("probe_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        e.queries()["asof_features"](spark, SF_SMOKE)
+        .select(
+            "probe_id", "conv_id", "probe_ts_us", "matched_turn_idx",
+            "last_role", "turns_incl", "tools_incl",
+        )
+        .toPandas()
+        .sort_values("probe_id")
+        .reset_index(drop=True)
+    )
+    import pandas as pd
+
+    assert len(got) == len(want)
+    for c in want.columns:
+        for i, (a, b) in enumerate(zip(got[c], want[c])):
+            if pd.isna(a) and pd.isna(b):
+                continue
+            assert a == b, f"column {c} row {i}: {a!r} != {b!r}"

@@ -400,7 +400,9 @@ def rouge_l(df: DataFrame, max_tokens: int = 64) -> DataFrame:
     """ROUGE-L per field (Lin 2004): longest-common-subsequence overlap
     between candidate (each conversation's first assistant/tool turn) and
     reference (its first user turn) — the third standard summarization/MT
-    metric beside METEOR and BLEU above, same pairing.
+    metric beside METEOR and BLEU above, same pairing (≈ the reference's
+    per-field metadata scorer, /root/reference/pipelines/metadata_extraction/
+    scorer.py:97-200, which scores extracted fields against ground truth).
 
     The LCS is the textbook DP computed entirely in Catalyst: an outer
     ``aggregate`` over candidate tokens carries the previous DP row as an

@@ -129,3 +129,95 @@ def stream_running_features(stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+ASOF_STATE_SCHEMA = (
+    "last_ts_us long, last_turn_idx int, last_role string, "
+    "turns_incl long, tools_incl long"
+)
+
+ASOF_OUT_COLS = [
+    "probe_id",
+    "conv_id",
+    "probe_ts_us",
+    "matched_turn_idx",
+    "last_role",
+    "turns_incl",
+    "tools_incl",
+]
+ASOF_OUT_SCHEMA = (
+    "probe_id string, conv_id string, probe_ts_us long, "
+    "matched_turn_idx int, last_role string, turns_incl long, "
+    "tools_incl long"
+)
+
+
+def asof_update(key, pdfs, state: GroupState):
+    """GroupState update for stream_asof (module-level for unit testing).
+
+    Input rows are the tagged union of turns (kind='turn') and probes
+    (kind='probe').  Rows within the batch are replayed in event order
+    (ts, kind, turn_idx) — probe AFTER turn at an equal timestamp, the
+    non-strict as-of convention of operators/asof.py — against the
+    running last-known state, which persists across micro-batches."""
+    import pandas as pd
+
+    if state.hasTimedOut:
+        state.remove()
+        return
+    last_ts, last_idx, last_role, turns, tools = (
+        state.get if state.exists else (None, None, None, 0, 0)
+    )
+    out: list[tuple] = []
+    pdf = pd.concat(list(pdfs), ignore_index=True)
+    # kind sorts 'probe' < 'turn'; we need turn-first at equal ts, so sort
+    # on (ts, kind DESC, turn_idx) via an integer order column
+    pdf["_k"] = (pdf["kind"] == "probe").astype(int)
+    pdf = pdf.sort_values(["ts_us", "_k", "turn_idx"], kind="mergesort")
+    for r in pdf.itertuples(index=False):
+        if r.kind == "turn":
+            last_ts, last_idx, last_role = int(r.ts_us), int(r.turn_idx), r.role
+            turns += 1
+            if isinstance(r.tool, str) and r.tool != "":
+                tools += 1
+        else:  # probe
+            matched = last_ts is not None
+            out.append(
+                (
+                    r.probe_id,
+                    key[0],
+                    int(r.ts_us),
+                    int(last_idx) if matched else None,
+                    last_role if matched else None,
+                    int(turns) if matched else None,
+                    int(tools) if matched else None,
+                )
+            )
+    state.update((last_ts, last_idx, last_role, turns, tools))
+    state.setTimeoutDuration(24 * 3600 * 1000)
+    yield pd.DataFrame(out, columns=ASOF_OUT_COLS)
+
+
+def stream_asof(tagged: DataFrame) -> DataFrame:
+    """Streaming point-in-time feature attach — the incremental twin of the
+    batch as-of join (operators/asof.py): probes flowing through the same
+    keyed stream as turns pick up the conversation's last-known state
+    (last role / turn, running turn+tool counts) the moment they arrive.
+
+    ``tagged`` is the union stream with columns (conv_id, kind∈{turn,probe},
+    probe_id, turn_idx, role, tool, ts_us) — the streaming analog of the
+    union-tag construction the batch join builds internally.  State is one
+    fixed-width tuple per conversation (bounded store), evicted after 24 h
+    idle exactly like stream_running_features.  Ordering contract: event
+    order is restored WITHIN each micro-batch; a turn arriving in a later
+    batch than a probe it precedes in event time is the at-least-once
+    residue the batch as-of repairs downstream — the standard
+    lambda-architecture split, mirroring the reference queue's
+    now-or-batch-later discipline (request_client.py:161-204)."""
+    return tagged.groupBy("conv_id").applyInPandasWithState(
+        asof_update,
+        outputStructType=ASOF_OUT_SCHEMA,
+        stateStructType=ASOF_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
