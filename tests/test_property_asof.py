@@ -141,3 +141,76 @@ def test_fit_predict_bucketed_equals_plain_property(spark, conv, probes, chunk, 
         assert (a.n_obs, a.slope, a.intercept, a.pred) == (
             b.n_obs, b.slope, b.intercept, b.pred,
         ), (pid, a, b)
+
+
+# --- training_set (multi-view point-in-time join) vs brute force ----------
+
+view_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=500_000_000),  # event ts offset
+        st.integers(min_value=0, max_value=9),            # payload token
+    ),
+    min_size=0,
+    max_size=8,
+)
+
+
+@given(view_a=view_strategy, view_b=view_strategy, probes=probe_strategy)
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+def test_training_set_matches_bruteforce(spark, view_a, view_b, probes):
+    """Every probe must pick up, per view, the payload of the latest event
+    with ts <= probe_ts (ties broken by the later turn_idx), and the audit
+    must equal the max matched event time — checked against a brute-force
+    python scan."""
+    from uncharted_ta1_pipeline_spark.operators.feature_store import training_set
+
+    def mk_view(name, rows):
+        data = [
+            ("c1", _ts(BASE_US + off), i, f"{name}{tok}")
+            for i, (off, tok) in enumerate(rows)
+        ]
+        return spark.createDataFrame(
+            data, f"conv_id string, ts timestamp, turn_idx int, {name}_val string"
+        )
+
+    labels = spark.createDataFrame(
+        [("p%d" % i, "c1", _ts(BASE_US + off)) for i, off in enumerate(probes)],
+        "probe_id string, conv_id string, label_ts timestamp",
+    )
+    out = training_set(
+        labels,
+        [
+            ("a", mk_view("a", view_a), "ts", ["a_val"]),
+            ("b", mk_view("b", view_b), "ts", ["b_val"]),
+        ],
+        label_ts="label_ts",
+    ).collect()
+    got = {r.probe_id: r for r in out}
+    assert len(got) == len(probes)
+
+    def brute(rows, name, probe_us):
+        best = None
+        for i, (off, tok) in enumerate(rows):
+            ts = BASE_US + off
+            if ts <= probe_us and (
+                best is None or (ts, i) > (best[0], best[1])
+            ):
+                best = (ts, i, f"{name}{tok}")
+        return best
+
+    for i, off in enumerate(probes):
+        probe_us = BASE_US + off
+        r = got["p%d" % i]
+        ba = brute(view_a, "a", probe_us)
+        bb = brute(view_b, "b", probe_us)
+        assert r.a_val == (ba[2] if ba else None)
+        assert r.b_val == (bb[2] if bb else None)
+        want_max = max(
+            [x[0] for x in (ba, bb) if x is not None], default=None
+        )
+        assert r.max_feature_ts_us == want_max
+        assert r.leak_ok is True
