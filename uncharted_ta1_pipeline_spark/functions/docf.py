@@ -377,26 +377,23 @@ def lm_score(df, text_col: str = "text"):
     per-doc avg map-side combines.  Documents with < 2 tokens have no
     bigrams and are excluded (matches the oracle's inner join).
     """
+    # Project the token array ONCE, then pair consecutive tokens by zipping
+    # two slices (the bleu_precisions pattern): building pairs with
+    # element_at(toks, i) inside a transform lambda re-evaluates the whole
+    # tokenization per element access (no CSE inside higher-order-function
+    # lambdas) — measured 7x slower at sf0.1.  slice length 0 also handles
+    # token-poor docs without a sequence(1, 0) guard (which counts DOWN).
     toks = F.filter(_words(F.lower(F.col(text_col))), lambda w: w != "")
-    n = F.size(toks)
-    pairs = F.transform(
-        F.sequence(F.lit(1), n - 1),
-        lambda i: F.struct(
-            F.element_at(toks, i).alias("w1"),
-            F.element_at(toks, i + 1).alias("w2"),
-        ),
+    tok_df = df.select("doc_id", toks.alias("_toks"))
+    n = F.size("_toks")
+    lead = F.greatest(n - 1, F.lit(0))
+    pairs = F.zip_with(
+        F.slice("_toks", 1, lead),
+        F.slice("_toks", 2, lead),
+        lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
     )
-    # sequence(1, 0) would count DOWN — guard token-poor docs explicitly
-    bg = (
-        df.select(
-            "doc_id",
-            F.explode(
-                F.when(n >= 2, pairs).otherwise(
-                    F.array().cast("array<struct<w1:string,w2:string>>")
-                )
-            ).alias("p"),
-        )
-        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    bg = tok_df.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
     )
     # Reduce to per-doc bigram COUNTS first: the scoring join then moves
     # |distinct (doc, bigram)| rows instead of every corpus position, and

@@ -166,6 +166,24 @@ def _dist2(x: F.Column, c: F.Column) -> F.Column:
     return F.round(_dot(x, x) - 2 * _dot(x, c) + _dot(c, c), 6)
 
 
+def _cross_dist(v: DataFrame, cents: DataFrame) -> DataFrame:
+    """Vectors x broadcast codebook with ``_d`` = rounded squared L2,
+    norms hoisted: ||x||² is computed once per VECTOR and ||c||² once per
+    CENTROID before the crossJoin, instead of once per (vector, centroid)
+    pair inside it — the aggregate-fold dot product is the expensive part,
+    and the naive form runs 3 of them per pair where one suffices.  The
+    arithmetic (xx - 2·<x,c> + cc, then round) is term-for-term the same
+    doubles as ``_dist2``, so oracle parity is unaffected."""
+    vv = v.withColumn("_xx", _dot(F.col("_v"), F.col("_v")))
+    cc = cents.withColumn("_cc", _dot(F.col("_c"), F.col("_c")))
+    return vv.crossJoin(F.broadcast(cc)).withColumn(
+        "_d",
+        F.round(
+            F.col("_xx") - 2 * _dot(F.col("_v"), F.col("_c")) + F.col("_cc"), 6
+        ),
+    )
+
+
 def _ivf_centroids(
     v: DataFrame, n_centroids: int, id_col: str = "vec_id"
 ) -> DataFrame:
@@ -198,8 +216,7 @@ def _ivf_centroids(
         F.struct(F.col("cluster"), F.col("_v")), F.struct(F.col("_d"), F.col("cluster"))
     )
     a0 = (
-        v.crossJoin(F.broadcast(c0))
-        .withColumn("_d", _dist2(F.col("_v"), F.col("_c")))
+        _cross_dist(v, c0)
         .groupBy(id_col)
         .agg(_best0.alias("_b"))
         .select(id_col, F.col("_b.cluster").alias("cluster"), F.col("_b._v").alias("_v"))
@@ -247,8 +264,7 @@ def ivf_assign(
         F.struct(F.col("cluster"), F.col("_d")), F.struct(F.col("_d"), F.col("cluster"))
     )
     return (
-        v.crossJoin(F.broadcast(cents))
-        .withColumn("_d", _dist2(F.col("_v"), F.col("_c")))
+        _cross_dist(v, cents)
         .groupBy(id_col)
         .agg(best.alias("_b"))
         .select(id_col, F.col("_b.cluster").alias("cluster"), F.col("_b._d").alias("dist2"))
@@ -295,8 +311,7 @@ def ivf_topk(
     # probes side below keeps its window — top-nprobe is a rank, not an
     # argmin, and ranks only n_queries x k tiny rows
     assigned = (
-        v.crossJoin(F.broadcast(cents))
-        .withColumn("_d", _dist2(F.col("_v"), F.col("_c")))
+        _cross_dist(v, cents)
         .groupBy(id_col)
         .agg(
             F.min_by(F.col("cluster"), F.struct(F.col("_d"), F.col("cluster"))).alias(
@@ -313,9 +328,7 @@ def ivf_topk(
     )
     # each query ranks ALL centroids and keeps its nprobe nearest
     probes = (
-        v.filter(F.col(id_col) < n_queries)
-        .crossJoin(F.broadcast(cents))
-        .withColumn("_d", _dist2(F.col("_v"), F.col("_c")))
+        _cross_dist(v.filter(F.col(id_col) < n_queries), cents)
         .withColumn(
             "_rk",
             F.row_number().over(
