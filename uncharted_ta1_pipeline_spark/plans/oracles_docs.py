@@ -882,3 +882,19 @@ buck AS (
 SELECT s.doc_id, s.quality_score, CAST(b.bucket AS BIGINT) AS bucket
 FROM scoreq s JOIN buck b ON s.qc = b.qc
 """
+
+ORACLES_DOCS["ann_bucket_stats"] = f"""
+WITH
+{_tables_sql},
+allb AS ({_allb}),
+occ AS (
+  SELECT tbl, bkt, count(*) AS n FROM allb GROUP BY tbl, bkt
+)
+SELECT tbl AS table,
+       CAST(count(*) AS BIGINT) AS buckets_used,
+       {2 ** ANN_PLANES} AS buckets_total,
+       CAST(min(n) AS BIGINT) AS min_occupancy,
+       round(avg(n), 2) AS avg_occupancy,
+       CAST(max(n) AS BIGINT) AS max_occupancy
+FROM occ GROUP BY tbl
+"""

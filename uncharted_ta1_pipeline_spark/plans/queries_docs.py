@@ -328,3 +328,14 @@ def q_curriculum(spark, sf_dir):
 
 
 QUERIES_DOCS["curriculum"] = q_curriculum
+
+
+def q_ann_bucket_stats(spark, sf_dir):
+    """LSH bucket-occupancy telemetry per hash table (plane-count tuning:
+    max >> avg flags a degenerate bucket; used << total flags over-hashing)."""
+    from uncharted_ta1_pipeline_spark.operators.similarity import ann_bucket_stats
+
+    return ann_bucket_stats(_emb(spark, sf_dir))
+
+
+QUERIES_DOCS["ann_bucket_stats"] = q_ann_bucket_stats
