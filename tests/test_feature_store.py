@@ -159,3 +159,28 @@ def test_target_encode_join_back_is_not_windowed_on_rows(spark):
     # textual proxy: the window sort keys are bucket columns, not ts.
     assert "Window" in plan
     assert "rowsBetween" not in plan  # sanity: physical plan text form
+
+
+def test_training_set_no_future_perturbation(spark):
+    """Leakage probe (the featurize perturbation applied to training_set):
+    appending FUTURE events to a view must not change any existing probe's
+    joined features or audit."""
+    labels = _labels(
+        spark, [("p1", "c1", _ts(10)), ("p2", "c1", _ts(20))]
+    )
+    base_view = _view(
+        spark, [("c1", _ts(5), 0, "v0"), ("c1", _ts(15), 1, "v1")]
+    )
+    future_view = base_view.union(
+        _view(spark, [("c1", _ts(25), 2, "vFUTURE"), ("c1", _ts(30), 3, "vLATE")])
+    )
+
+    def run(view):
+        return {
+            r.probe_id: (r.val, r.a_ts_us, r.max_feature_ts_us, r.leak_ok)
+            for r in training_set(
+                labels, [("a", view, "ts", ["val"])]
+            ).collect()
+        }
+
+    assert run(base_view) == run(future_view)
