@@ -62,6 +62,7 @@ _PRIORITY = [
     "rouge_l",              # NEW: LCS DP in Catalyst + list_reduce oracle
     "curriculum",           # NEW: tie-coherent distributed ntile buckets
     "ann_bucket_stats",     # NEW: LSH occupancy telemetry, now oracle-backed
+    "temporal_split",       # NEW: embargoed time split + straddle flag
     "training_set",         # NEW: multi-view point-in-time join + audit
     "training_set_bucketed",  # NEW: hot-key-safe twin (same oracle)
     "target_encode",        # NEW: leakage-free bucketed target encoding

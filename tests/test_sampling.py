@@ -79,3 +79,51 @@ def test_domain_mix_rates_known_solution(spark):
     assert rows["A"].natural_share == 0.75 and rows["B"].natural_share == 0.25
     # rates are a feasible no-upsampling plan: every rate <= 1.0
     assert all(r.rate <= 1.0 for r in rows.values())
+
+
+def test_temporal_split_embargo_and_straddle(spark):
+    import datetime as dt
+
+    from uncharted_ta1_pipeline_spark.operators.sampling import temporal_split
+
+    t0 = dt.datetime(2026, 1, 1)
+
+    def ts(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    # 5 rows: percentile(us, 0.8) lands on the 4th value (h = 3.2 between
+    # rows 3 and 4 -> interpolated); embargo 3600s
+    rows = [
+        ("c1", 0, ts(0)),
+        ("c1", 1, ts(100)),
+        ("c1", 2, ts(200)),
+        ("c2", 0, ts(300)),       # train cutoff interpolates past here
+        ("c2", 1, ts(300 + 7200)),  # beyond cutoff + embargo -> test
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, ts timestamp")
+    out = {(r.conv_id, r.turn_idx): r for r in temporal_split(df).collect()}
+    assert out[("c1", 0)].split == "train"
+    assert out[("c2", 1)].split == "test"
+    # c1 never reaches test -> no straddle; c2 has train(ish) + test rows
+    assert out[("c1", 0)].conv_straddles is False
+    c2_splits = {out[("c2", i)].split for i in (0, 1)}
+    if {"train", "test"} <= c2_splits:
+        assert out[("c2", 0)].conv_straddles is True
+
+
+def test_temporal_split_embargo_rows_excluded_from_both(spark):
+    import datetime as dt
+
+    from uncharted_ta1_pipeline_spark.operators.sampling import temporal_split
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = [
+        ("c1", i, t0 + dt.timedelta(seconds=i)) for i in range(5)
+    ] + [("c1", 5, t0 + dt.timedelta(seconds=1800)),
+         ("c1", 6, t0 + dt.timedelta(seconds=7200))]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, ts timestamp")
+    out = {r.turn_idx: r.split for r in temporal_split(df).collect()}
+    # cutoff = p80 of [0..4, 1800, 7200]s; the 1800s row falls inside
+    # (cutoff, cutoff + 3600] -> embargo; the 7200s row is test
+    assert out[5] == "embargo"
+    assert out[6] == "test"

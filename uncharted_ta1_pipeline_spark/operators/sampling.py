@@ -229,3 +229,57 @@ def curriculum_buckets(
     return scored.join(buckets, on="_qc").select(
         "doc_id", "quality_score", "bucket"
     )
+
+
+def temporal_split(
+    df: DataFrame,
+    train_frac: float = 0.8,
+    embargo_s: int = 3600,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Time-based train/test split with an embargo gap and a
+    conversation-straddle contamination flag — the split discipline
+    leakage-sensitive pipelines use (an embargo absorbs features whose
+    windows reach across the boundary; cf. combinatorial purged CV,
+    de Prado 2018).
+
+    cutoff = the exact ``train_frac`` percentile of event time (linearly
+    interpolated, like every quantile here); rows at or before it are
+    ``train``, rows inside (cutoff, cutoff + embargo] are ``embargo``
+    (excluded from both sides), later rows are ``test``.  Each row also
+    carries ``conv_straddles`` — whether its conversation has turns on
+    BOTH sides of the embargo — the per-entity contamination diagnostic
+    (a straddling conversation leaks conversation-level state into test
+    unless the consumer drops or re-splits it).
+
+    Plan: one global percentile aggregate (single broadcast row), a
+    map-side projection for the split label, and one per-conversation
+    flag aggregate joined back on the key — no window anywhere.
+    """
+    us = F.unix_micros(F.col(ts_col))
+    cut = df.agg(
+        F.expr(
+            f"percentile(unix_micros({ts_col}), {train_frac})"
+        ).alias("_cut")
+    )
+    rows = df.crossJoin(F.broadcast(cut)).withColumn(
+        "_split",
+        F.when(us <= F.col("_cut"), F.lit("train"))
+        .when(us <= F.col("_cut") + embargo_s * 1_000_000.0, F.lit("embargo"))
+        .otherwise(F.lit("test")),
+    )
+    flags = rows.groupBy("conv_id").agg(
+        F.max((F.col("_split") == "train").cast("int")).alias("_has_train"),
+        F.max((F.col("_split") == "test").cast("int")).alias("_has_test"),
+    )
+    return (
+        rows.join(flags, on="conv_id")
+        .select(
+            "conv_id",
+            "turn_idx",
+            F.col("_split").alias("split"),
+            ((F.col("_has_train") + F.col("_has_test")) == 2).alias(
+                "conv_straddles"
+            ),
+        )
+    )

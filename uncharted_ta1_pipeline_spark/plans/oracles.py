@@ -390,3 +390,24 @@ FROM rows r
 JOIN perc p ON r.category = p.category AND r.bucket = p.bucket
 JOIN globc g ON r.bucket = g.bucket
 """
+
+ORACLES["temporal_split"] = f"""
+{_T},
+cut AS (SELECT quantile_cont(epoch_us(ts), 0.8) AS c FROM transcripts),
+rows_s AS (
+  SELECT conv_id, turn_idx,
+         CASE WHEN epoch_us(ts) <= c THEN 'train'
+              WHEN epoch_us(ts) <= c + 3600 * 1000000.0 THEN 'embargo'
+              ELSE 'test' END AS split
+  FROM transcripts CROSS JOIN cut
+),
+flags AS (
+  SELECT conv_id,
+         max(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS has_train,
+         max(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS has_test
+  FROM rows_s GROUP BY conv_id
+)
+SELECT r.conv_id, r.turn_idx, r.split,
+       (f.has_train + f.has_test) = 2 AS conv_straddles
+FROM rows_s r JOIN flags f ON r.conv_id = f.conv_id
+"""

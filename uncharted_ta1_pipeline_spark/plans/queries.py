@@ -294,3 +294,14 @@ QUERIES = {
     "training_set_bucketed": q_training_set_bucketed,
     "target_encode": q_target_encode,
 }
+
+
+def q_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based train/embargo/test split over global event time plus the
+    conversation-straddle contamination flag (operators/sampling.py)."""
+    from uncharted_ta1_pipeline_spark.operators.sampling import temporal_split
+
+    return temporal_split(load_transcripts(spark, sf_dir))
+
+
+QUERIES["temporal_split"] = q_temporal_split
