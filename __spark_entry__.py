@@ -50,13 +50,17 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
-# Driver-cap rotation policy: CORRECTNESS_r02 recorded exactly the FIRST 50
-# entries of this dict (insertion order), so with >50 registered queries the
-# tail gets no driver row.  Ordering rule: (1) operators added or rewritten
-# this round first, (2) operators missing a row last round next, (3) the
-# rest, with the longest-green (r01+r02 double-green AND pytest-covered)
-# queries at the tail.  Rotate tier 3 each round so every operator family
-# keeps fresh driver evidence.
+# Driver-cap rotation policy: the driver records exactly the FIRST 50
+# entries of this dict (insertion order; observed in CORRECTNESS_r02/r03),
+# so with 93 registered queries the tail gets no driver row.  Ordering
+# rule: (1) operators added or rewritten this round first, (2) operators
+# missing a row last round next, (3) the rest, with the longest-green
+# (multi-round-green AND pytest-covered) queries at the tail.  Rotate
+# tier 3 each round so every operator family keeps fresh driver evidence.
+# r4 head = the 21 operators new/changed this round + r4 perf rewrites,
+# then the 18 tier-2 entries rowless since r01/r02 (VERDICT r3 #4) — all
+# 49 fit the 50-row window, with asof_features as row 50; the 28 mid +
+# 16 tail queries were green in r03 and stay pytest-covered.
 _PRIORITY = [
     # tier 1 — new or changed this round (r4)
     "rouge_l",              # NEW: LCS DP in Catalyst + list_reduce oracle
