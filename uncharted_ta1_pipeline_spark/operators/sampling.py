@@ -243,23 +243,34 @@ def temporal_split(
     windows reach across the boundary; cf. combinatorial purged CV,
     de Prado 2018).
 
-    cutoff = the exact ``train_frac`` percentile of event time (linearly
-    interpolated, like every quantile here); rows at or before it are
-    ``train``, rows inside (cutoff, cutoff + embargo] are ``embargo``
-    (excluded from both sides), later rows are ``test``.  Each row also
-    carries ``conv_straddles`` — whether its conversation has turns on
-    BOTH sides of the embargo — the per-entity contamination diagnostic
-    (a straddling conversation leaks conversation-level state into test
-    unless the consumer drops or re-splits it).
+    cutoff = the exact ``train_frac`` percentile of MINUTE-quantized event
+    time (linearly interpolated, mapped back to micros); rows at or before
+    it are ``train``, rows inside (cutoff, cutoff + embargo] are
+    ``embargo`` (excluded from both sides), later rows are ``test``.  Each
+    row also carries ``conv_straddles`` — whether its conversation has
+    turns on BOTH sides of the embargo — the per-entity contamination
+    diagnostic (a straddling conversation leaks conversation-level state
+    into test unless the consumer drops or re-splits it).
 
-    Plan: one global percentile aggregate (single broadcast row), a
-    map-side projection for the split label, and one per-conversation
+    The minute quantization is the scale guard: Spark's exact
+    ``percentile`` keeps a value->count map whose size is the number of
+    DISTINCT inputs — corpus-sized over raw microsecond timestamps at
+    10^12 turns, but bounded by the corpus TIME RANGE over minutes
+    (~5M entries per decade) regardless of row count.  A split boundary
+    is a calendar artifact; minute resolution loses nothing.
+
+    Plan: one bounded global percentile aggregate (single broadcast row),
+    a map-side projection for the split label, and one per-conversation
     flag aggregate joined back on the key — no window anywhere.
     """
     us = F.unix_micros(F.col(ts_col))
     cut = df.agg(
-        F.expr(
-            f"percentile(unix_micros({ts_col}), {train_frac})"
+        (
+            F.expr(
+                f"percentile(floor(unix_micros({ts_col}) / 60000000.0),"
+                f" {train_frac})"
+            )
+            * 60_000_000.0
         ).alias("_cut")
     )
     rows = df.crossJoin(F.broadcast(cut)).withColumn(

@@ -393,7 +393,13 @@ JOIN globc g ON r.bucket = g.bucket
 
 ORACLES["temporal_split"] = f"""
 {_T},
-cut AS (SELECT quantile_cont(epoch_us(ts), 0.8) AS c FROM transcripts),
+cut AS (
+  -- minute-quantized percentile (bounded distinct-value map at any corpus
+  -- size), mapped back to micros — mirrors operators/sampling.py
+  SELECT quantile_cont(floor(epoch_us(ts) / 60000000.0), 0.8) * 60000000.0
+           AS c
+  FROM transcripts
+),
 rows_s AS (
   SELECT conv_id, turn_idx,
          CASE WHEN epoch_us(ts) <= c THEN 'train'
