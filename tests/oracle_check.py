@@ -1,6 +1,14 @@
 """Mini-driver: compare a Spark query result against its DuckDB oracle the
 way the real driver does — row count, column names, and an order-insensitive
-value comparison (exact for ints/strings, allclose for floats)."""
+EXACT value comparison.
+
+Floats are compared with ``==`` (NaN==NaN allowed), not allclose: the real
+driver hashes exact values, and every rounded output column in this repo is
+*designed* to be bit-identical across engines (the determinism contract).
+The r4 `gap_quantiles` ULP bug passed a 1e-9-rtol allclose locally and died
+at the driver — for gap values ~1e4 s, rtol alone tolerated ~1e-5.  Columns
+that are documented as approximate must be registered in ``APPROX_COLS``
+(query name -> set of column names); only those get allclose."""
 
 from __future__ import annotations
 
@@ -39,7 +47,17 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def compare(spark_df, oracle_pdf: pd.DataFrame, name: str = "query") -> None:
+# query name -> column names allowed an allclose comparison instead of ==.
+# Empty on purpose: every current output column is covered by the exact
+# determinism contract.  Register here ONLY with a docstring-documented
+# reason at the operator site.
+APPROX_COLS: dict[str, set] = {}
+
+
+def compare(
+    spark_df, oracle_pdf: pd.DataFrame, name: str = "query"
+) -> None:
+    approx = APPROX_COLS.get(name, set())
     got = _normalize(spark_df.toPandas())
     want = _normalize(oracle_pdf)
     assert list(got.columns) == list(want.columns), (
@@ -51,11 +69,19 @@ def compare(spark_df, oracle_pdf: pd.DataFrame, name: str = "query") -> None:
         if pd.api.types.is_float_dtype(g) or pd.api.types.is_float_dtype(w):
             ga = g.astype("float64").to_numpy()
             wa = w.astype("float64").to_numpy()
+            nan_mask = np.isnan(ga) | np.isnan(wa)
             both_nan = np.isnan(ga) & np.isnan(wa)
-            ok = both_nan | np.isclose(ga, wa, rtol=1e-9, atol=1e-9, equal_nan=True)
+            if c in approx:
+                ok = both_nan | np.isclose(
+                    ga, wa, rtol=1e-9, atol=1e-9, equal_nan=True
+                )
+            else:
+                # the driver's bar: bit-identical values (NaN==NaN ok)
+                ok = np.where(nan_mask, both_nan, ga == wa)
             assert ok.all(), (
-                f"{name}.{c}: {int((~ok).sum())} value mismatches, first at "
-                f"{np.argmin(ok)}: {ga[np.argmin(ok)]} vs {wa[np.argmin(ok)]}"
+                f"{name}.{c}: {int((~ok).sum())} value mismatches "
+                f"({'allclose' if c in approx else 'exact'}), first at "
+                f"{np.argmin(ok)}: {ga[np.argmin(ok)]!r} vs {wa[np.argmin(ok)]!r}"
             )
         else:
             gn = g.where(pd.notna(g), None)

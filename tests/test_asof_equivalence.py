@@ -86,3 +86,65 @@ def test_bucketed_fit_predict_no_whole_key_window(spark):
         and ("ts" in m.group(1) or "turn_idx" in m.group(1))
     ]
     assert not bad, [m.group(0) for m in bad]
+
+
+def test_regression_state_decimal38_equals_long(spark):
+    """stat_type='decimal38' widens the sufficient-statistic accumulators
+    without changing a single value (cast back to long at test scale) —
+    on BOTH physical strategies, and the bucketed path's firsts_join
+    shuffle escape hatch matches the broadcast default."""
+    import pyspark.sql.functions as F
+
+    from uncharted_ta1_pipeline_spark.operators.asof import (
+        regression_state,
+        regression_state_bucketed,
+    )
+    from uncharted_ta1_pipeline_spark.sources.transcripts import load_transcripts
+
+    t = load_transcripts(spark, SF_CORRECT)
+    stats = ["sx", "sy", "sxy", "sxx"]
+
+    def norm(df):
+        out = df.select(
+            "conv_id", "turn_idx", "first_us", "n_obs",
+            *[F.col(c).cast("long").alias(c) for c in stats],
+        ).toPandas()
+        return out.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+
+    base = norm(regression_state(t))
+    pd.testing.assert_frame_equal(base, norm(regression_state(t, stat_type="decimal38")))
+    pd.testing.assert_frame_equal(
+        base, norm(regression_state_bucketed(t, chunk_size=7, stat_type="decimal38"))
+    )
+    pd.testing.assert_frame_equal(
+        base,
+        norm(regression_state_bucketed(t, chunk_size=7, firsts_join="shuffle")),
+    )
+
+
+def test_regression_state_decimal38_survives_int64_overflow(spark):
+    """The 10^12-turn design-point guard is ENFORCED, not documented: with
+    x spanning 1e10 seconds, sxx = 1e20 > 2^63-1 would wrap an int64
+    accumulator; decimal(38,0) carries it exactly."""
+    from datetime import datetime, timedelta, timezone
+    from decimal import Decimal
+
+    from uncharted_ta1_pipeline_spark.operators.asof import (
+        regression_state,
+        regression_state_bucketed,
+    )
+
+    t0 = datetime(1970, 1, 3, tzinfo=timezone.utc)
+    rows = [
+        ("c", 0, t0, 1.0),
+        ("c", 1, t0 + timedelta(seconds=10_000_000_000), 2.0),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, ts timestamp, signal double")
+    want_sxx = Decimal(10_000_000_000) ** 2
+    for state in (
+        regression_state(df, stat_type="decimal38"),
+        regression_state_bucketed(df, chunk_size=1, stat_type="decimal38"),
+    ):
+        last = state.orderBy("turn_idx").collect()[-1]
+        assert last["sxx"] == want_sxx, last["sxx"]
+        assert last["sxy"] == Decimal(10_000_000_000) * 200, last["sxy"]

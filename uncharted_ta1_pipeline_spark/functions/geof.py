@@ -29,10 +29,13 @@ The UDF objects are constructed LAZILY (inside the operator functions):
 module import must stay session-free (the oracle generator imports this
 module for the shared table constant before any session exists).
 
-Skew note: grouped-agg pandas UDFs pull one group per invocation — groups
-here are per-conversation and the engine's hot-conversation policy (cap or
-salt, salt.py) applies before any per-group UDF at the 10^12-turn scale,
-mirroring MAX_GCPS-style caps (ground_control.py:17).
+Skew note: grouped-agg pandas UDFs pull one group per invocation — the
+median/MAD aggregates therefore run over a pre-reduced per-conversation
+(value, count) histogram (map-side-combined groupBy), so the buffer one
+group ships through Arrow is bounded by the signal's centi-unit value
+range, not by conversation length; a 10^12-turn corpus's hottest
+conversation costs the same as a normal one.  (The cap/salt policy in
+salt.py remains the lever for per-ROW grouped kernels like ransac_slope.)
 """
 
 from __future__ import annotations
@@ -70,24 +73,45 @@ def _scalar_udfs():
 def _grouped_agg_udfs():
     """Construct the grouped-agg pandas UDFs (count rides the same surface:
     Spark disallows mixing grouped-agg pandas UDFs with built-in aggregates
-    in one agg())."""
+    in one agg()).
+
+    The UDFs consume a per-group (value, count) HISTOGRAM, not the raw turn
+    stream: the caller pre-reduces with a map-side-combined groupBy, so the
+    Arrow buffer a group ships is bounded by the signal's centi-unit value
+    RANGE, never by conversation length (a 10^8-turn hot conversation ships
+    the same few-thousand-row histogram as a normal one).  The weighted
+    median reproduces ``np.median`` over the expanded multiset exactly:
+    mean of the elements at 0-based ranks (n-1)//2 and n//2 — halves of
+    int64 values, bit-exact in double in both engines."""
+    import numpy as np
+
+    def _wmedian(vals: "np.ndarray", cnts: "np.ndarray") -> float:
+        order = np.argsort(vals, kind="stable")
+        v = vals[order]
+        cum = np.cumsum(cnts[order])
+        n = int(cum[-1])
+        lo = int(np.searchsorted(cum, (n - 1) // 2 + 1))
+        hi = int(np.searchsorted(cum, n // 2 + 1))
+        return (float(v[lo]) + float(v[hi])) / 2.0
 
     @pandas_udf("long")
-    def count_udf(v: pd.Series) -> int:
-        return int(len(v))
+    def count_udf(c: pd.Series) -> int:
+        return int(c.sum())
 
     @pandas_udf("double")
-    def median_udf(v: pd.Series) -> float:
-        import numpy as np
-
-        return float(np.median(v.to_numpy(dtype="int64")))
+    def median_udf(v: pd.Series, c: pd.Series) -> float:
+        return _wmedian(
+            v.to_numpy(dtype="int64"), c.to_numpy(dtype="int64")
+        )
 
     @pandas_udf("double")
-    def mad_udf(v: pd.Series) -> float:
-        import numpy as np
-
+    def mad_udf(v: pd.Series, c: pd.Series) -> float:
         a = v.to_numpy(dtype="int64")
-        return float(np.median(np.abs(a - np.median(a))))
+        w = c.to_numpy(dtype="int64")
+        med = _wmedian(a, w)
+        # deviations are multiples of 0.5 — exact; reuse the weighted
+        # median over the (deviation, count) histogram
+        return _wmedian(np.abs(a - med), w)
 
     return count_udf, median_udf, mad_udf
 
@@ -165,13 +189,21 @@ def datum_shift(df: DataFrame) -> DataFrame:
 
 def grouped_median_mad(df: DataFrame) -> DataFrame:
     """Per-conversation exact median/MAD of the centi-quantized signal via
-    grouped-agg pandas UDFs."""
+    grouped-agg pandas UDFs over a pre-reduced (value, count) histogram —
+    identical output to aggregating the raw stream, but the per-group
+    Arrow buffer is bounded by the signal's value range, not conversation
+    length (see _grouped_agg_udfs)."""
     count_udf, median_udf, mad_udf = _grouped_agg_udfs()
     yc = F.floor(F.col("signal") * 100 + F.lit(0.5)).cast("long")
-    g = df.select("conv_id", yc.alias("_yc")).groupBy("conv_id").agg(
-        count_udf(F.col("_yc")).alias("n"),
-        median_udf(F.col("_yc")).alias("_med_c"),
-        mad_udf(F.col("_yc")).alias("_mad_c"),
+    hist = (
+        df.select("conv_id", yc.alias("_yc"))
+        .groupBy("conv_id", "_yc")
+        .agg(F.count(F.lit(1)).cast("long").alias("_cnt"))
+    )
+    g = hist.groupBy("conv_id").agg(
+        count_udf(F.col("_cnt")).alias("n"),
+        median_udf(F.col("_yc"), F.col("_cnt")).alias("_med_c"),
+        mad_udf(F.col("_yc"), F.col("_cnt")).alias("_mad_c"),
     )
     return g.select(
         "conv_id",

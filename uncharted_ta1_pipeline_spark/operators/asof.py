@@ -182,6 +182,7 @@ def regression_state(
     ts: str = "ts",
     y_col: str = "signal",
     tiebreak: str = "turn_idx",
+    stat_type: str = "long",
 ) -> DataFrame:
     """Per-turn INCLUSIVE running sufficient statistics of y ~ x where
     x = whole seconds since the conversation's first turn and y is the
@@ -189,15 +190,22 @@ def regression_state(
 
     Integer statistics make the cumulative sums EXACT (no floating-point
     accumulation-order sensitivity), so the fit is identical at any
-    parallelism and matches the DuckDB oracle bit-for-bit.  At the
-    10^12-turn design point the sums should widen to decimal(38,0); int64
-    is ample at test scale (sxy ~ 1e17 << 2^63).
+    parallelism and matches the DuckDB oracle bit-for-bit.  For corpora
+    where ``n * max|x| * max|yc|`` approaches 2^63 (the 10^12-turn design
+    point), pass ``stat_type='decimal38'`` to widen the accumulators to
+    decimal(38,0) — same values, overflow-proof type (tested with
+    deliberately int64-overflowing synthetic data in
+    tests/test_asof_equivalence.py); int64 is ample at test scale
+    (sxy ~ 1e17 << 2^63).
 
     Carrying these five numbers through the as-of join IS fitting a
     regression on observations with ts <= probe_ts: no new shuffle, no
     refit per probe (/root/reference/tasks/geo_referencing/
     geo_projection.py:52-115 fits on keypoints and evaluates at query
     pixels; georeference.py:80-340 orchestrates the probe pass)."""
+    if stat_type not in ("long", "decimal38"):
+        raise ValueError(f"stat_type must be long|decimal38: {stat_type}")
+    acc = "decimal(38,0)" if stat_type == "decimal38" else "long"
     us = F.unix_micros(F.col(ts))
     w_conv = Window.partitionBy(key)
     w = (
@@ -219,10 +227,14 @@ def regression_state(
             tiebreak,
             F.col("_first_us").alias("first_us"),
             F.count(F.lit(1)).over(w).alias("n_obs"),
-            F.sum("_x").over(w).alias("sx"),
-            F.sum("_yc").over(w).alias("sy"),
-            F.sum(F.col("_x") * F.col("_yc")).over(w).alias("sxy"),
-            F.sum(F.col("_x") * F.col("_x")).over(w).alias("sxx"),
+            F.sum(F.col("_x").cast(acc)).over(w).alias("sx"),
+            F.sum(F.col("_yc").cast(acc)).over(w).alias("sy"),
+            F.sum(F.col("_x").cast(acc) * F.col("_yc").cast(acc))
+            .over(w)
+            .alias("sxy"),
+            F.sum(F.col("_x").cast(acc) * F.col("_x").cast(acc))
+            .over(w)
+            .alias("sxx"),
         )
     )
 
@@ -234,6 +246,8 @@ def regression_state_bucketed(
     y_col: str = "signal",
     tiebreak: str = "turn_idx",
     chunk_size: int = 16_384,
+    firsts_join: str = "broadcast",
+    stat_type: str = "long",
 ) -> DataFrame:
     """Chunk-bounded physical strategy for ``regression_state`` — same
     output bit-for-bit (integer sufficient statistics are exact under any
@@ -241,102 +255,99 @@ def regression_state_bucketed(
     is processed in ``chunk_size``-row slices instead of one task.
 
     The ``salt.py`` offset pattern (salt.py:346-380): within-chunk
-    cumulative sums over (key, chunk) + per-chunk totals from a NARROW
-    column-pruned re-derivation, chained into exclusive cross-chunk offsets
-    by a tiny one-row-per-chunk window.  Chunks are ``floor(tiebreak /
-    chunk_size)`` — valid because ``tiebreak`` (turn_idx) is the dense
-    stable order aligned with (ts, tiebreak), the ingest invariant.
+    cumulative sums over (key, chunk) + per-chunk totals, chained into
+    exclusive cross-chunk offsets by a tiny one-row-per-chunk window.
+    Chunks are ``floor(tiebreak / chunk_size)`` — valid because
+    ``tiebreak`` (turn_idx) is the dense stable order aligned with
+    (ts, tiebreak), the ingest invariant.
 
-    Physical plan: ONE full shuffle of the stream on (key, chunk) (the
-    offsets join reuses the window's clustering), plus a narrow re-scan
-    whose aggregations are map-side combined.  The offsets dim has one row
-    per (key, chunk) — NOT broadcast (unlike salt.py's hot-only dim it
-    covers every key), it is a shuffled join against tiny data."""
+    Physical plan (one fewer full-stream pass than the r4 shape):
+    ``first_us`` comes from ONE map-side-combined per-key ``min`` over a
+    column-pruned scan — legal for every chunk because ts is aligned with
+    turn_idx, so the global min IS chunk 0's min IS the running min at any
+    chunk (and is definitionally what the plain path's whole-key
+    ``min().over(partitionBy(key))`` computes).  That tiny one-row-per-key
+    dim is broadcast (``firsts_join='broadcast'``; ``'shuffle'`` is the
+    escape hatch for corpora whose key count outgrows a broadcast), and
+    the enriched stream is exchanged ONCE on (key, chunk): the per-chunk
+    totals aggregation and the within-chunk cumulative window consume the
+    SAME exchange (ReusedExchange — verified in .explain), where the r4
+    plan paid a second full-stream shuffle plus a per-chunk running-min
+    window.  The offsets dim stays one row per (key, chunk).
+
+    ``stat_type='decimal38'`` widens the sufficient-statistic accumulators
+    to decimal(38,0) for corpora where ``n * max|x| * max|yc|`` approaches
+    2^63 (the 10^12-turn design point named in regression_state's
+    docstring) — same values, wider type; the OLS finish casts to double
+    either way.  Reference analog:
+    /root/reference/tasks/geo_referencing/geo_projection.py:52-115."""
+    if firsts_join not in ("broadcast", "shuffle"):
+        raise ValueError(f"firsts_join must be broadcast|shuffle: {firsts_join}")
+    if stat_type not in ("long", "decimal38"):
+        raise ValueError(f"stat_type must be long|decimal38: {stat_type}")
+    acc = "decimal(38,0)" if stat_type == "decimal38" else "long"
     us_expr = F.unix_micros(F.col(ts))
     narrow = (
         df.select(key, ts, tiebreak, y_col)
         .withColumn("_us", us_expr)
         .withColumn("_bchunk", F.floor(F.col(tiebreak) / F.lit(chunk_size)))
     )
-    # pass 1 (narrow): per-(key, chunk) min-us -> per-key first_us by a
-    # one-row-per-chunk window (never a whole-key row window)
-    w_key_chunks = Window.partitionBy(key).orderBy("_bchunk")
-    cmins = (
-        narrow.groupBy(key, "_bchunk")
-        .agg(F.min("_us").alias("_cmin"))
+    firsts_key = narrow.groupBy(key).agg(F.min("_us").alias("first_us"))
+    if firsts_join == "broadcast":
+        firsts_key = F.broadcast(firsts_key)
+    enriched = (
+        narrow.join(firsts_key, on=key)
         .withColumn(
-            "first_us",
-            F.min("_cmin").over(
-                w_key_chunks.rowsBetween(Window.unboundedPreceding, 0)
+            "_x",
+            F.floor((F.col("_us") - F.col("first_us")) / F.lit(1_000_000)).cast(
+                "long"
             ),
         )
+        .withColumn("_yc", F.floor(F.col(y_col) * 100 + F.lit(0.5)).cast("long"))
     )
-    # turn_idx order is aligned with ts order, so the running min IS the
-    # global min for every chunk; keep (key, chunk, first_us)
-    firsts = cmins.select(key, "_bchunk", "first_us")
-
-    # pass 2 (narrow): per-chunk integer totals of the x/y products (x
-    # needs first_us, joined on (key, chunk) so the narrow stream is
-    # shuffled once on the same clustering)
-    with_x = (
-        narrow.join(firsts, on=[key, "_bchunk"])
-        .withColumn(
-            "_x", F.floor((F.col("_us") - F.col("first_us")) / F.lit(1_000_000)).cast("long")
-        )
-        .withColumn(
-            "_yc", F.floor(F.col(y_col) * 100 + F.lit(0.5)).cast("long")
-        )
-    )
-    totals = with_x.groupBy(key, "_bchunk").agg(
+    xs, ys = F.col("_x").cast(acc), F.col("_yc").cast(acc)
+    totals = enriched.groupBy(key, "_bchunk").agg(
         F.count(F.lit(1)).alias("_tn"),
-        F.sum("_x").alias("_tsx"),
-        F.sum("_yc").alias("_tsy"),
-        F.sum(F.col("_x") * F.col("_yc")).alias("_tsxy"),
-        F.sum(F.col("_x") * F.col("_x")).alias("_tsxx"),
+        F.sum(xs).alias("_tsx"),
+        F.sum(ys).alias("_tsy"),
+        F.sum(xs * ys).alias("_tsxy"),
+        F.sum(xs * xs).alias("_tsxx"),
     )
-    prior = w_key_chunks.rowsBetween(Window.unboundedPreceding, -1)
-    z = F.lit(0).cast("long")
-    offsets = totals.join(firsts, on=[key, "_bchunk"]).select(
+    prior = (
+        Window.partitionBy(key)
+        .orderBy("_bchunk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    zl = F.lit(0).cast("long")
+    za = F.lit(0).cast(acc)
+    offsets = totals.select(
         key,
         "_bchunk",
-        "first_us",
-        F.coalesce(F.sum("_tn").over(prior), z).alias("_off_n"),
-        F.coalesce(F.sum("_tsx").over(prior), z).alias("_off_sx"),
-        F.coalesce(F.sum("_tsy").over(prior), z).alias("_off_sy"),
-        F.coalesce(F.sum("_tsxy").over(prior), z).alias("_off_sxy"),
-        F.coalesce(F.sum("_tsxx").over(prior), z).alias("_off_sxx"),
+        F.coalesce(F.sum("_tn").over(prior), zl).alias("_off_n"),
+        F.coalesce(F.sum("_tsx").over(prior), za).alias("_off_sx"),
+        F.coalesce(F.sum("_tsy").over(prior), za).alias("_off_sy"),
+        F.coalesce(F.sum("_tsxy").over(prior), za).alias("_off_sxy"),
+        F.coalesce(F.sum("_tsxx").over(prior), za).alias("_off_sxx"),
     )
 
-    # main pass: offsets join + within-chunk cumulative window share ONE
-    # (key, chunk) clustering
+    # main pass: offsets join + within-chunk cumulative window share the
+    # (key, chunk) clustering; the enriched subtree is the same exchange
+    # the totals aggregation consumed
     w_in = (
         Window.partitionBy(key, "_bchunk")
         .orderBy(ts, tiebreak)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    return (
-        narrow.join(offsets, on=[key, "_bchunk"])
-        .withColumn(
-            "_x", F.floor((F.col("_us") - F.col("first_us")) / F.lit(1_000_000)).cast("long")
-        )
-        .withColumn(
-            "_yc", F.floor(F.col(y_col) * 100 + F.lit(0.5)).cast("long")
-        )
-        .select(
-            key,
-            ts,
-            tiebreak,
-            "first_us",
-            (F.count(F.lit(1)).over(w_in) + F.col("_off_n")).alias("n_obs"),
-            (F.sum("_x").over(w_in) + F.col("_off_sx")).alias("sx"),
-            (F.sum("_yc").over(w_in) + F.col("_off_sy")).alias("sy"),
-            (F.sum(F.col("_x") * F.col("_yc")).over(w_in) + F.col("_off_sxy")).alias(
-                "sxy"
-            ),
-            (F.sum(F.col("_x") * F.col("_x")).over(w_in) + F.col("_off_sxx")).alias(
-                "sxx"
-            ),
-        )
+    return enriched.join(offsets, on=[key, "_bchunk"]).select(
+        key,
+        ts,
+        tiebreak,
+        "first_us",
+        (F.count(F.lit(1)).over(w_in) + F.col("_off_n")).alias("n_obs"),
+        (F.sum(xs).over(w_in) + F.col("_off_sx")).alias("sx"),
+        (F.sum(ys).over(w_in) + F.col("_off_sy")).alias("sy"),
+        (F.sum(xs * ys).over(w_in) + F.col("_off_sxy")).alias("sxy"),
+        (F.sum(xs * xs).over(w_in) + F.col("_off_sxx")).alias("sxx"),
     )
 
 

@@ -100,14 +100,23 @@ def gap_quantile_features(df: DataFrame, fence_k: float = 1.5) -> DataFrame:
     existing exchange.  Single-turn conversations have no gaps and are
     excluded.
 
-    Scale note: exact ``percentile`` keeps a per-GROUP value->count map
-    sized by the group's distinct gaps — bounded by conversation length,
-    so a 10^8-turn hot conversation concentrates one large buffer (the
-    same exposure as mad_outliers/median_mad, which three judge rounds
-    have accepted for per-conv percentiles).  The scale lever, if a
-    corpus's hot tail makes it bite, is gap quantization to whole seconds
-    (bounds the map by the gap RANGE instead), exactly as temporal_split
-    quantizes event time to minutes.
+    Exactness contract (why everything below is INTEGER microseconds):
+    computing ``gap_s = (us - prev_us)/1e6`` first and interpolating over
+    the resulting non-representable doubles left Spark ``percentile`` and
+    DuckDB ``quantile_cont`` one ulp apart, which round(6) amplified to a
+    visible digit (the r4 driver's one hash-red row).  Instead the
+    percentiles run over the integer microsecond gaps: the h=(n-1)p
+    interpolation with p ∈ {.25,.5,.75} over int64 inputs is exact in
+    double in BOTH engines (result = multiple of 0.25 µs), the Tukey
+    fence stays in exact micros (multiple of 0.125 µs), and each reported
+    percentile is rounded to a WHOLE microsecond before the single /1e6 —
+    so the final round(6) never lands on a decimal half-boundary where
+    Spark's BigDecimal HALF_UP and DuckDB's multiply-round could split.
+
+    Scale note: integer gaps also give the percentile's per-GROUP
+    value->count map a quantization lever — coarsen the unit (ms, s) and
+    the map is bounded by the gap RANGE instead of conversation length,
+    exactly as temporal_split quantizes event time to minutes.
     """
     w = Window.partitionBy("conv_id").orderBy(*_ORD)
     g = (
@@ -116,34 +125,44 @@ def gap_quantile_features(df: DataFrame, fence_k: float = 1.5) -> DataFrame:
         .filter(F.col("_prev").isNotNull())
         .select(
             "conv_id",
-            ((F.col("_us") - F.col("_prev")) / 1_000_000.0).alias("gap_s"),
+            (F.col("_us") - F.col("_prev")).cast("long").alias("gap_us"),
         )
     )
     q = g.groupBy("conv_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_gaps"),
-        F.expr("percentile(gap_s, 0.25)").alias("_p25"),
-        F.expr("percentile(gap_s, 0.5)").alias("_p50"),
-        F.expr("percentile(gap_s, 0.75)").alias("_p75"),
+        F.expr("percentile(gap_us, 0.25)").alias("_p25u"),
+        F.expr("percentile(gap_us, 0.5)").alias("_p50u"),
+        F.expr("percentile(gap_us, 0.75)").alias("_p75u"),
     )
-    fence = F.col("_p75") + fence_k * (F.col("_p75") - F.col("_p25"))
+    # fence in raw (quarter-µs-exact) percentile micros; the comparison is
+    # integer-vs-eighth-µs-multiple, so strict > cannot flip on an ulp
+    fence = F.col("_p75u") + fence_k * (F.col("_p75u") - F.col("_p25u"))
     out = (
         g.join(q, on="conv_id")
         .groupBy("conv_id")
         .agg(
             F.max("n_gaps").alias("n_gaps"),
-            F.max("_p25").alias("_p25"),
-            F.max("_p50").alias("_p50"),
-            F.max("_p75").alias("_p75"),
-            F.sum((F.col("gap_s") > fence).cast("long")).alias("_n_out"),
+            F.max("_p25u").alias("_p25u"),
+            F.max("_p50u").alias("_p50u"),
+            F.max("_p75u").alias("_p75u"),
+            F.sum((F.col("gap_us") > fence).cast("long")).alias("_n_out"),
         )
     )
+
+    def _secs(cu):  # whole-µs round (HALF_UP == DuckDB's half-away for >0)
+        return F.round(F.round(cu, 0) / 1_000_000.0, 6)
+
     return out.select(
         "conv_id",
         "n_gaps",
-        F.round("_p25", 6).alias("p25_gap_s"),
-        F.round("_p50", 6).alias("p50_gap_s"),
-        F.round("_p75", 6).alias("p75_gap_s"),
-        F.round(F.col("_p75") - F.col("_p25"), 6).alias("iqr_gap_s"),
+        _secs(F.col("_p25u")).alias("p25_gap_s"),
+        _secs(F.col("_p50u")).alias("p50_gap_s"),
+        _secs(F.col("_p75u")).alias("p75_gap_s"),
+        F.round(
+            (F.round(F.col("_p75u"), 0) - F.round(F.col("_p25u"), 0))
+            / 1_000_000.0,
+            6,
+        ).alias("iqr_gap_s"),
         F.round(F.col("_n_out").cast("double") / F.col("n_gaps"), 6).alias(
             "outlier_share"
         ),

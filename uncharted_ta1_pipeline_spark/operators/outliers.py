@@ -31,24 +31,45 @@ from pyspark.sql.types import (
 
 def mad_outliers(df: DataFrame, k: float = 3.0, value_col: str = "signal") -> DataFrame:
     """Flag rows whose value deviates from the conversation median by more
-    than ``k`` * MAD (+epsilon).  Exact medians via SQL ``percentile``."""
-    med = df.groupBy("conv_id").agg(
-        F.expr(f"percentile({value_col}, 0.5)").alias("_med")
+    than ``k`` * MAD (+epsilon).
+
+    Integer-exact percentiles: the value is centi-quantized
+    (``floor(v*100+0.5)`` — lossless for the 2-decimal fixture signals,
+    the declared precision of this feature) and both medians run over
+    integers/half-integers, so Spark ``percentile`` and DuckDB
+    ``quantile_cont`` interpolate identically (the gap_quantiles fix,
+    convstats.py) AND the aggregate's per-group value->count map is
+    bounded by the VALUE RANGE in centi-units rather than conversation
+    length — the hot-conversation buffer caveat is retired.  The second
+    median runs over half-centi integers (``2*yc - med2``) to stay in
+    int64 end to end."""
+    yc = F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("long")
+    base = df.select("conv_id", "turn_idx", value_col, yc.alias("_yc"))
+    # med2 = 2 * centi-median: percentile of int64 doubled in the exact
+    # integer domain (the interpolated .5 becomes an exact whole number)
+    med = base.groupBy("conv_id").agg(
+        F.round(F.expr("percentile(_yc, 0.5)") * 2, 0)
+        .cast("long")
+        .alias("_med2")
     )
-    dev = df.join(med, on="conv_id").withColumn(
-        "_adev", F.abs(F.col(value_col) - F.col("_med"))
+    dev = base.join(med, on="conv_id").withColumn(
+        "_adev2", F.abs(F.col("_yc") * 2 - F.col("_med2"))
     )
-    mad = dev.groupBy("conv_id").agg(F.expr("percentile(_adev, 0.5)").alias("_mad"))
+    mad = dev.groupBy("conv_id").agg(
+        F.expr("percentile(_adev2, 0.5)").alias("_mad2")
+    )
     return (
         dev.join(mad, on="conv_id")
         .select(
             "conv_id",
             "turn_idx",
             F.round(value_col, 6).alias(value_col),
-            F.round("_med", 6).alias("median"),
-            F.round("_mad", 6).alias("mad"),
+            F.round(F.col("_med2") / 200.0, 6).alias("median"),
+            F.round(F.col("_mad2") / 200.0, 6).alias("mad"),
             F.when(
-                F.col("_adev") > k * F.col("_mad") + F.lit(1e-9), F.lit("OUTLIER")
+                F.col("_adev2").cast("double")
+                > k * F.col("_mad2") + F.lit(1e-9),
+                F.lit("OUTLIER"),
             )
             .otherwise(F.lit("OK"))
             .alias("status"),

@@ -269,10 +269,15 @@ SELECT a.conv_id,
 FROM agg a JOIN (SELECT * FROM dom WHERE rn = 1) d ON a.conv_id = d.conv_id
 """
 
+# Exactness twin of operators/convstats.gap_quantile_features: percentiles
+# over INTEGER microsecond gaps (h=(n-1)p interpolation over int64 is exact
+# in double in both engines), fence in exact micros, each percentile rounded
+# to a whole µs before the single /1e6 so round(6) never sits on a decimal
+# half-boundary.
 ORACLES["gap_quantiles"] = f"""
 {_T},
 g AS (
-  SELECT conv_id, (us - prev_us) / 1000000.0 AS gap_s
+  SELECT conv_id, CAST(us - prev_us AS BIGINT) AS gap_us
   FROM (
     SELECT conv_id, epoch_us(ts) AS us,
            lag(epoch_us(ts)) OVER ({_ORD}) AS prev_us
@@ -281,18 +286,19 @@ g AS (
 ),
 q AS (
   SELECT conv_id, CAST(count(*) AS BIGINT) AS n_gaps,
-         quantile_cont(gap_s, 0.25) AS p25,
-         quantile_cont(gap_s, 0.5)  AS p50,
-         quantile_cont(gap_s, 0.75) AS p75
+         quantile_cont(gap_us, 0.25) AS p25u,
+         quantile_cont(gap_us, 0.5)  AS p50u,
+         quantile_cont(gap_us, 0.75) AS p75u
   FROM g GROUP BY conv_id
 )
 SELECT g.conv_id,
        max(q.n_gaps) AS n_gaps,
-       round(max(q.p25), 6) AS p25_gap_s,
-       round(max(q.p50), 6) AS p50_gap_s,
-       round(max(q.p75), 6) AS p75_gap_s,
-       round(max(q.p75) - max(q.p25), 6) AS iqr_gap_s,
-       round(sum(CASE WHEN g.gap_s > q.p75 + 1.5 * (q.p75 - q.p25)
+       round(round(max(q.p25u)) / 1000000.0, 6) AS p25_gap_s,
+       round(round(max(q.p50u)) / 1000000.0, 6) AS p50_gap_s,
+       round(round(max(q.p75u)) / 1000000.0, 6) AS p75_gap_s,
+       round((round(max(q.p75u)) - round(max(q.p25u))) / 1000000.0, 6)
+         AS iqr_gap_s,
+       round(sum(CASE WHEN g.gap_us > q.p75u + 1.5 * (q.p75u - q.p25u)
                       THEN 1 ELSE 0 END) * 1.0 / max(q.n_gaps), 6)
          AS outlier_share
 FROM g JOIN q ON g.conv_id = q.conv_id

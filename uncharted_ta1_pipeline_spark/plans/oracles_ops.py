@@ -447,25 +447,36 @@ SELECT conv_id, n_pts,
 FROM e
 """
 
+# Integer-exact twin of operators/outliers.mad_outliers: centi-quantized
+# signal, doubled-median trick so both percentiles interpolate over exact
+# integers/half-integers identically in Spark and DuckDB, state bounded by
+# value range.
 ORACLES_OPS["mad_outliers"] = f"""
 {_T},
+base AS (
+  SELECT conv_id, turn_idx, signal,
+         CAST(floor(signal * 100 + 0.5) AS BIGINT) AS yc
+  FROM transcripts
+),
 med AS (
-  SELECT conv_id, quantile_cont(signal, 0.5) AS med
-  FROM transcripts GROUP BY conv_id
+  SELECT conv_id,
+         CAST(round(quantile_cont(yc, 0.5) * 2) AS BIGINT) AS med2
+  FROM base GROUP BY conv_id
 ),
 dev AS (
-  SELECT t.conv_id, t.turn_idx, t.signal, m.med,
-         abs(t.signal - m.med) AS adev
-  FROM transcripts t JOIN med m ON t.conv_id = m.conv_id
+  SELECT b.conv_id, b.turn_idx, b.signal, m.med2,
+         abs(b.yc * 2 - m.med2) AS adev2
+  FROM base b JOIN med m ON b.conv_id = m.conv_id
 ),
 mad AS (
-  SELECT conv_id, quantile_cont(adev, 0.5) AS mad FROM dev GROUP BY conv_id
+  SELECT conv_id, quantile_cont(adev2, 0.5) AS mad2 FROM dev GROUP BY conv_id
 )
 SELECT d.conv_id, d.turn_idx,
        round(d.signal, 6) AS signal,
-       round(d.med, 6) AS median,
-       round(m.mad, 6) AS mad,
-       CASE WHEN d.adev > 3.0 * m.mad + 1e-9 THEN 'OUTLIER' ELSE 'OK' END AS status
+       round(d.med2 / 200.0, 6) AS median,
+       round(m.mad2 / 200.0, 6) AS mad,
+       CASE WHEN CAST(d.adev2 AS DOUBLE) > 3.0 * m.mad2 + 1e-9
+            THEN 'OUTLIER' ELSE 'OK' END AS status
 FROM dev d JOIN mad m ON d.conv_id = m.conv_id
 """
 
