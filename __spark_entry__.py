@@ -52,76 +52,75 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Driver-cap rotation policy: the driver records exactly the FIRST 50
 # entries of this dict (insertion order; observed in CORRECTNESS_r02/r03),
-# so with 93 registered queries the tail gets no driver row.  Ordering
+# so with 94 registered queries the tail gets no driver row.  Ordering
 # rule: (1) operators added or rewritten this round first, (2) operators
-# missing a row last round next, (3) the rest, with the longest-green
-# (multi-round-green AND pytest-covered) queries at the tail.  Rotate
-# tier 3 each round so every operator family keeps fresh driver evidence.
-# r4 head = the 21 operators new/changed this round + r4 perf rewrites,
-# then the 18 tier-2 entries rowless since r01/r02 (VERDICT r3 #4) — all
-# 49 fit the 50-row window, with asof_features as row 50; the 28 mid +
-# 16 tail queries were green in r03 and stay pytest-covered.
+# whose last driver row is oldest next, (3) the rest, with the
+# freshest-green (r4 row AND pytest-covered) queries at the tail.
+# r5 head = the 8 queries new/changed this round, then every query whose
+# last green row is r03 (VERDICT r4 #5: nothing more than two rounds
+# stale) — 46 of the 50-row window; the 48 r4-green queries rotate out
+# and stay pytest-covered by the exact-comparison harness.
 _PRIORITY = [
-    # tier 1 — new or changed this round (r4)
-    "rouge_l",              # NEW: LCS DP in Catalyst + list_reduce oracle
-    "curriculum",           # NEW: tie-coherent distributed ntile buckets
-    "ann_bucket_stats",     # NEW: LSH occupancy telemetry, now oracle-backed
-    "temporal_split",       # NEW: embargoed time split + straddle flag
-    "training_set",         # NEW: multi-view point-in-time join + audit
-    "training_set_bucketed",  # NEW: hot-key-safe twin (same oracle)
-    "target_encode",        # NEW: leakage-free bucketed target encoding
-    "lm_score",             # NEW: corpus-bigram LM fluency (CCNet-style)
-    "role_entropy",         # NEW: per-conv role-transition concentration
-    "gap_quantiles",        # NEW: inter-turn gap quantiles + Tukey fence
-    "bm25_top_terms",       # NEW: Okapi BM25 (linear idf) top terms
-    "domain_mix",           # NEW: target-mix rebalancing rate solve
-    "bleu_fields",          # NEW: BLEU 1/2-gram clipped precisions
-    "url_filter",           # NEW: URL census + domain blocklist decision
-    "oov_rate",             # NEW: OOV rate vs corpus-top-100 vocab
-    "dedup_clusters",       # NEW: connected components + canonical keep
-    "contamination",        # NEW: benchmark n-gram decontamination
-    "tfidf_top_terms",      # NEW: per-doc rarity-weighted top terms
-    "line_dedup",           # NEW: cross-doc line removal + re-assembly
-    "pack_sequences",       # NEW: concat-then-chunk packing offsets
-    "asof_fit_predict_bucketed",  # NEW: chunk-bounded stats + bucketed as-of
-    "simhash",              # 64-bit production width (was 16-bit)
-    "simhash_pairs",        # 4x16-bit bands over the 64-bit signature
-    "ivf_assign",           # min_by partial-agg rewrite (was window)
-    "ivf_topk",             # min_by partial-agg rewrite
-    "ivf_cluster_stats",    # downstream of the min_by rewrite
-    "featurize_full",       # routing re-measured after r3 regression
-    "repetition",           # NEW: Gopher-style repetition quality signals
-    "pii_mask",             # NEW: PII redaction (email/IP/phone)
-    "hash_split",           # NEW: deterministic train/val/test assignment
-    "stratified_sample",    # NEW: per-source hash sampling vs broadcast dim
-    # tier 2 — rowless since r01/r02 (driver 50-row cap): rotate in, per
-    # the rotation policy's promise (VERDICT r3 #4)
-    "asof_features_bucketed",
-    "minhash_lsh_pairs",
-    "minhash_signature",
-    "ngram_jaccard_pairs",
-    "dedup_exact",
-    "halt_predicate",
-    "ingest_ordered",
-    "sessionize",
-    "lag_lead",
-    "cumulative",
-    "rolling",
-    "ffill_tool",
-    "session_stats",
-    "conv_turn_rate",
-    "text_filter",
-    "argmax_source_filter",
-    "range_filter_readd",
-    "token_budget_filter",
+    # tier 1 — new or changed this round (r5)
+    "gap_quantiles",        # FIXED: integer-µs percentiles (r4's one red row)
+    "ann_recall",           # NEW: recall@10 of ann_lsh/ivf_topk vs exact
+    "mad_outliers",         # rewritten: centi-quantized doubled-median
+    "median_mad",           # rewritten: bounded histogram grouped-agg
+    "asof_fit_predict_bucketed",  # rewritten: fused per-key-min state pass
+    "asof_fit_predict",     # stat_type flag added (plan unchanged)
+    "ann_lsh",              # retuned 5 planes x 8 tables (recall 0.02->0.40)
+    "ann_bucket_stats",     # occupancy under the retuned constants
+    # tier 2 — last driver row r03: rotate all of them in (VERDICT r4 #5)
+    "ransac_slope",
+    "corner_join",
+    "corner_join_passthrough",
+    "nearest_join",
+    "inference_backfill",
+    "extract_ladder",
+    "metadata_record",
+    "eval_f1",
+    "eval_deciles",
+    "meteor_fields",
+    "anchor_fallback",
+    "colinear_thirdpoint",
+    "coalesce_ladder",
+    "conditional_enrich",
+    "confidence_product",
+    "source_histogram",
+    "rmse_score",
+    "rank_suppress",
+    "monotone_best_run",
+    "dedup_overlap",
+    "quadrant_coverage",
+    "weighted_centroid",
+    "topk_with_ties",
+    "denoise_segments",
+    "text_with_segments",
+    "point_geocoder",
+    "geocode_enrich",
+    "finalize_left_join",
+    "datum_shift",
+    "geodesic_scale",
+    "color_level",
+    "scoring_output",
+    "summary_output",
+    "ann_bruteforce",
+    "embedding_cosine_pairs",
+    "lang_id",
+    "quality_score",
+    "token_count",
+    "doc_fingerprint",
 ]
-# tier 3 tail — green r03 driver row AND pytest-covered, unchanged this
+# tier 3 tail — green r04 driver row AND pytest-covered, unchanged this
 # round: safe to rotate out under the 50-row cap
 _TAIL = [
-    "asof_fit_predict", "eval_deciles", "color_level", "geodesic_scale",
-    "median_mad", "point_geocoder", "datum_shift", "scoring_output",
-    "summary_output", "ann_lsh", "embedding_cosine_pairs", "ann_bruteforce",
-    "lang_id", "quality_score", "token_count", "doc_fingerprint",
+    "rouge_l", "curriculum", "temporal_split", "training_set",
+    "training_set_bucketed", "target_encode", "lm_score", "role_entropy",
+    "bm25_top_terms", "domain_mix", "bleu_fields", "url_filter", "oov_rate",
+    "dedup_clusters", "contamination", "tfidf_top_terms", "line_dedup",
+    "pack_sequences", "simhash", "simhash_pairs", "ivf_assign", "ivf_topk",
+    "ivf_cluster_stats", "featurize_full", "repetition", "pii_mask",
+    "hash_split", "stratified_sample",
 ]
 
 

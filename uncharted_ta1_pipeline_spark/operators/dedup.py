@@ -212,31 +212,64 @@ def ngram_jaccard_pairs(
 HEX = "0123456789abcdef"
 
 
+# slot width for the packed vote sums: each hex nibble's 4 per-bit ONES
+# counts ride one long in base 2^15 (4 x 15 = 60 bits, carry-free while a
+# document stays under 32,767 tokens — enforced by _SIMHASH_MAX_TOKENS
+# below; the pre-pack shape, one sum per bit, is the fallback for corpora
+# of larger monolithic documents).
+_SIMHASH_PACK_SHIFT = 15
+_SIMHASH_PACK_BASE = 1 << _SIMHASH_PACK_SHIFT
+_SIMHASH_MAX_TOKENS = _SIMHASH_PACK_BASE - 1
+
+
 def _simhash_votes(docs: DataFrame, n_bits: int) -> DataFrame:
-    """Per-document bit-vote sums for an ``n_bits``-wide SimHash.
+    """Per-document PACKED bit-vote sums for an ``n_bits``-wide SimHash.
 
     Each token votes the first ``n_bits/4`` hex nibbles of its md5; a
-    signature bit is 1 when the sum of votes is positive.  Nibble -> int is
-    done with strpos over a hex alphabet so Spark and DuckDB agree exactly.
-    One md5 per token feeds every bit; the groupBy map-side-combines, so
-    the shuffle carries one row per (doc, ``n_bits`` sums)."""
+    signature bit is 1 when the majority of tokens set it (2*ones > n —
+    identical to the classic ±1 vote-sum-positive rule).  Instead of one
+    aggregate per BIT (64 sums whose per-token expression trees dominated
+    the r4 profile), each nibble position contributes ONE long sum of a
+    constant-folded 16-entry lookup: entry[nib] packs the nibble's 4 bits
+    into base-2^15 slots, so the per-(doc,nibble) sum carries the 4 ones-
+    counts carry-free (n_bits/4 aggregates + a token count).  Decode is a
+    shift/mask — pure integer, bit-identical at any parallelism.  Nibble ->
+    int is strpos over a hex alphabet so Spark and DuckDB agree exactly;
+    one md5 per token feeds every bit; the groupBy map-side-combines, so
+    the shuffle carries one row per (doc, n_bits/4 longs)."""
+    n_nib = n_bits // 4
+    B = _SIMHASH_PACK_BASE
+    # entry[nib] = sum over slot m of bit_(3-m)(nib) * B^m  (slot m holds
+    # the ones-count of bit index i with i%4 == m, MSB-first nibble order)
+    pack = [
+        sum((((nib >> (3 - m)) & 1) * B**m) for m in range(4))
+        for nib in range(16)
+    ]
+    arr = F.array(*[F.lit(v).cast("long") for v in pack])
     toks = docs.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("_tok")
-    ).withColumn("_hx", F.substring(F.md5(F.col("_tok")), 1, n_bits // 4))
-    votes = []
-    for i in range(n_bits):
-        j = i // 4 + 1  # hex char position
-        k = 3 - (i % 4)  # bit within nibble, MSB first
-        nib = F.position(F.substring(F.col("_hx"), j, 1), F.lit(HEX)) - 1
-        bit = F.floor(nib / (2**k)) % 2
-        votes.append(
-            F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"_v{i}")
+    ).withColumn("_hx", F.substring(F.md5(F.col("_tok")), 1, n_nib))
+    aggs = [F.count(F.lit(1)).alias("_ntok")]
+    for j in range(n_nib):
+        nib = F.position(F.substring(F.col("_hx"), j + 1, 1), F.lit(HEX)) - 1
+        aggs.append(
+            F.sum(F.element_at(arr, (nib + 1).cast("int"))).alias(f"_p{j}")
         )
-    return toks.groupBy("doc_id").agg(*votes)
+    return toks.groupBy("doc_id").agg(*aggs)
+
+
+def _bit_is_set(i: int) -> F.Column:
+    """Majority vote for global bit index ``i`` from the packed sums:
+    ones_i = (p[i//4] >> 15*(i%4)) & (2^15-1); set iff 2*ones_i > n."""
+    j, m = i // 4, i % 4
+    ones = F.shiftright(
+        F.col(f"_p{j}"), _SIMHASH_PACK_SHIFT * m
+    ).bitwiseAND(F.lit(_SIMHASH_MAX_TOKENS))
+    return ones * 2 > F.col("_ntok")
 
 
 def _band_exprs(n_bits: int, band_bits: int) -> list:
-    """Band-int columns from vote columns: band ``b`` packs bits
+    """Band-int columns from the packed vote sums: band ``b`` packs bits
     [b*band_bits, (b+1)*band_bits) little-endian.  Band ints (<= 2^16)
     stay comfortably inside INT on both engines — the reason the 64-bit
     signature is represented as 4 band ints + a hex string instead of one
@@ -247,7 +280,7 @@ def _band_exprs(n_bits: int, band_bits: int) -> list:
         term = None
         for i in range(b * band_bits, (b + 1) * band_bits):
             t = F.when(
-                F.col(f"_v{i}") > 0, F.lit(2 ** (i - b * band_bits))
+                _bit_is_set(i), F.lit(2 ** (i - b * band_bits))
             ).otherwise(F.lit(0))
             term = t if term is None else term + t
         cols.append(term.cast("int").alias(f"_band{b}"))
@@ -260,7 +293,7 @@ def simhash16(docs: DataFrame) -> DataFrame:
     g = _simhash_votes(docs, 16)
     sim = None
     for i in range(16):
-        term = F.when(F.col(f"_v{i}") > 0, F.lit(2**i)).otherwise(F.lit(0))
+        term = F.when(_bit_is_set(i), F.lit(2**i)).otherwise(F.lit(0))
         sim = term if sim is None else sim + term
     return g.select("doc_id", sim.cast("int").alias("simhash"))
 

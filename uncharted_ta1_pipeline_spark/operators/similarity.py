@@ -17,11 +17,15 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
 # multi-table LSH defaults, shared with the DuckDB oracle generator.
-# 8 planes -> 256 buckets/table: at 100 TB the bucket count should track
-# corpus size (planes ~ log2(N / target_bucket_size)); 4 tables of
-# OR-construction recover the recall the sharper buckets give up.
-ANN_TABLES = 4
-ANN_PLANES = 8
+# planes ~ log2(N / target_bucket_size): 5 planes -> 32 buckets/table puts
+# ~16 of the sf0.01 corpus's 500 vectors in a bucket; 8 tables of
+# OR-construction recover the recall sharper buckets give up.  Retuned from
+# 8x4 after the ann_recall query measured recall@10 = 0.02 there (256
+# buckets over 500 vectors left ~2 per bucket); 5x8 measures 0.40 on the
+# same corpus.  At 100 TB the bucket count must track corpus size — that
+# retune is exactly what ann_recall + ann_bucket_stats exist to drive.
+ANN_TABLES = 8
+ANN_PLANES = 5
 ANN_MAX_BUCKET = 256
 EMB_DIM = 64  # embeddings.parquet dimension (constant across SFs)
 
@@ -427,3 +431,63 @@ def ann_lsh(
         .filter(F.col("_rk") <= k)
         .select("query_id", "neighbor_id", "cosine", F.col("_rk").alias("rk"))
     )
+
+
+def ann_recall(
+    emb: DataFrame,
+    n_queries: int = 5,
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Recall@k of each approximate index (``ann_lsh``, ``ivf_topk``)
+    against the exact ``ann_bruteforce`` baseline on the shared query set —
+    the number a user tuning tables/planes/nprobe actually needs (the
+    quality-of-approximation report of the reference's eval harness,
+    /root/reference/eval/18month_eval/fe_metrics_utils.py:18-104).
+
+    Output: (method, query_id, n_truth, n_hit, recall_at_k) — one row per
+    (index, query).  Deterministic by construction: all three top-k lists
+    are themselves oracle-exact (rounded-cosine ranking with id tiebreaks),
+    so the intersection counts are too; recall_at_k = n_hit / n_truth is a
+    small-integer ratio, safe under round(6).
+
+    Scale: the truth/approx lists are bounded at n_queries x k rows, so
+    every join here is trivially broadcast-able; the cost is the three
+    sub-operators, each already shaped for scale (bucket-local LSH probe,
+    nprobe-bounded IVF scan, and the brute-force baseline bounded by its
+    explicit query set)."""
+    truth = ann_bruteforce(emb, n_queries, k, id_col).select(
+        "query_id", "neighbor_id"
+    )
+    per_q = truth.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_truth")
+    )
+    out = None
+    for method, approx in (
+        ("ann_lsh", ann_lsh(emb, n_queries, k, id_col=id_col)),
+        ("ivf_topk", ivf_topk(emb, n_queries, k, id_col=id_col)),
+    ):
+        hits = (
+            truth.join(
+                approx.select("query_id", "neighbor_id"),
+                on=["query_id", "neighbor_id"],
+            )
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
+        )
+        m = (
+            per_q.join(hits, on="query_id", how="left")
+            .select(
+                F.lit(method).alias("method"),
+                "query_id",
+                "n_truth",
+                F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_hit"),
+                F.round(
+                    F.coalesce(F.col("n_hit"), F.lit(0)).cast("double")
+                    / F.col("n_truth"),
+                    6,
+                ).alias("recall_at_k"),
+            )
+        )
+        out = m if out is None else out.unionByName(m)
+    return out

@@ -660,6 +660,37 @@ ranked AS (
 SELECT query_id, neighbor_id, cosine, rk FROM ranked WHERE rk <= 10
 """
 
+# Recall@k of each approximate index vs the exact baseline: composed from
+# the three oracle statements above verbatim (DuckDB allows a WITH inside a
+# derived-table subquery), so the recall oracle can never drift from the
+# per-index oracles.  recall = n_hit / n_truth over bounded integer counts.
+ORACLES_DOCS["ann_recall"] = f"""
+WITH truth AS (SELECT * FROM ({ORACLES_DOCS["ann_bruteforce"]})),
+lsh AS (SELECT * FROM ({ORACLES_DOCS["ann_lsh"]})),
+ivf AS (SELECT * FROM ({ORACLES_DOCS["ivf_topk"]})),
+per_q AS (
+  SELECT query_id, CAST(count(*) AS BIGINT) AS n_truth
+  FROM truth GROUP BY query_id
+),
+hits AS (
+  SELECT 'ann_lsh' AS method, t.query_id, CAST(count(*) AS BIGINT) AS n_hit
+  FROM truth t JOIN lsh a
+    ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+  GROUP BY t.query_id
+  UNION ALL
+  SELECT 'ivf_topk' AS method, t.query_id, CAST(count(*) AS BIGINT) AS n_hit
+  FROM truth t JOIN ivf a
+    ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+  GROUP BY t.query_id
+),
+methods AS (SELECT 'ann_lsh' AS method UNION ALL SELECT 'ivf_topk')
+SELECT m.method, p.query_id, p.n_truth,
+       CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+       round(coalesce(h.n_hit, 0) * 1.0 / p.n_truth, 6) AS recall_at_k
+FROM methods m CROSS JOIN per_q p
+LEFT JOIN hits h ON h.method = m.method AND h.query_id = p.query_id
+"""
+
 
 # Gopher-style repetition signals: dup-word / dup-2gram fractions and the
 # top-2gram share, per document — list-lambda twin of

@@ -16,6 +16,7 @@ from uncharted_ta1_pipeline_spark.operators import dedup as dd
 from uncharted_ta1_pipeline_spark.operators.similarity import (
     ann_bruteforce,
     ann_lsh,
+    ann_recall,
     ivf_assign,
     ivf_cluster_stats,
     ivf_topk,
@@ -84,6 +85,10 @@ def q_ivf_cluster_stats(spark, sf_dir):
 
 def q_ivf_topk(spark, sf_dir):
     return ivf_topk(_emb(spark, sf_dir), n_queries=5, k=10)
+
+
+def q_ann_recall(spark, sf_dir):
+    return ann_recall(_emb(spark, sf_dir), n_queries=5, k=10)
 
 
 def q_lang_id(spark, sf_dir):
@@ -296,6 +301,7 @@ QUERIES_DOCS = {
     "ivf_assign": q_ivf_assign,
     "ivf_cluster_stats": q_ivf_cluster_stats,
     "ivf_topk": q_ivf_topk,
+    "ann_recall": q_ann_recall,
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
     "token_count": q_token_count,
