@@ -64,6 +64,7 @@ _PRIORITY = [
     # tier 1 — new or changed this round (r5)
     "gap_quantiles",        # FIXED: integer-µs percentiles (r4's one red row)
     "ann_recall",           # NEW: recall@10 of ann_lsh/ivf_topk vs exact
+    "dedup_recall",         # NEW: LSH pair recall/precision vs exact jaccard
     "mad_outliers",         # rewritten: centi-quantized doubled-median
     "median_mad",           # rewritten: bounded histogram grouped-agg
     "asof_fit_predict_bucketed",  # rewritten: fused per-key-min state pass

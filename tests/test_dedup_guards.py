@@ -151,3 +151,28 @@ def test_ann_multi_table_beats_single_table_recall(spark):
     assert r4 >= 0.3, f"multi-table recall too low: {r4}"
     # at the sharp production default the OR-construction still never hurts
     assert recall(4, 8) >= recall(1, 8)
+
+
+def test_dedup_recall_floors(spark):
+    """The registered dedup_recall query (MinHash-LSH candidate recall and
+    precision vs the exact shingle-Jaccard truth set at sf0.01) stays above
+    stated floors.  Theory for 16 bands x 4 rows: P(cand) = 1-(1-j^4)^16,
+    ~0.64 at j=0.5 and ~0.99 at j=0.7; the fixture's planted near-dup pairs
+    sit high on the S-curve (measured recall 1.0 at every grid point,
+    precision 25/30) — floors carry margin under that."""
+    from tests.conftest import SF_CORRECT
+    from uncharted_ta1_pipeline_spark.operators.dedup import dedup_recall
+
+    docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+    r = dedup_recall(docs, thresholds=(0.3, 0.5, 0.7)).toPandas()
+    r = r.set_index("threshold_pct").sort_index()
+    assert list(r.index) == [30, 50, 70]
+    # recall floors follow the banding S-curve: lenient at 0.5, sharp at 0.7
+    assert r.loc[70, "recall_at_t"] >= 0.9, r
+    assert r.loc[50, "recall_at_t"] >= 0.5, r
+    # candidate set must stay useful: most candidates are true near-dups
+    assert r.loc[30, "precision_at_t"] >= 0.5, r
+    # counts are consistent: hits never exceed truth or candidates, and the
+    # truth set shrinks (weakly) as the threshold rises
+    assert (r["n_hit"] <= r["n_truth"]).all() and (r["n_hit"] <= r["n_cand"]).all()
+    assert r["n_truth"].is_monotonic_decreasing

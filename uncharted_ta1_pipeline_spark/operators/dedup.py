@@ -209,6 +209,81 @@ def ngram_jaccard_pairs(
     )
 
 
+def dedup_recall(
+    docs: DataFrame, thresholds: tuple = (0.3, 0.5, 0.7)
+) -> DataFrame:
+    """Recall and precision of the MinHash-LSH candidate generator against
+    the exact shingle-Jaccard truth set, per similarity threshold — the
+    telemetry a user tuning bands/rows needs, and the LSH twin of
+    ``ann_recall`` (quality-of-approximation reporting per the reference's
+    eval harness, /root/reference/eval/18month_eval/fe_metrics_utils.py:18-104).
+
+    For each threshold t:
+      recall_at_t    = |cand ∩ {pairs with jaccard >= t}| / |{jaccard >= t}|
+      precision_at_t = |cand ∩ {pairs with jaccard >= t}| / |cand|
+    With 16 bands x 4 rows the theory curve is P(cand) = 1-(1-j^4)^16
+    (~0.64 at j=0.5, ~0.99 at j=0.7) — this query measures the realized
+    curve on the corpus.
+
+    Determinism: both inputs are exact, oracle-backed sets, so the
+    intersection counts are exact integers; the ratios are small-integer
+    quotients, safe under round(6).  The threshold grid enters as double
+    literals on both engines.
+
+    Scale: the truth set is the near-duplicate pair set (output-bounded —
+    at web scale near-dup pairs are a vanishing fraction of n²; both
+    generators carry their own df-cap skew guards), and the per-threshold
+    rollup joins a 3-row broadcast grid against it.  |cand| rides along as
+    one crossJoin'd aggregate scalar.  min(thresholds) must equal the truth
+    query's threshold so the truth window is explicit, not implied."""
+    truth = ngram_jaccard_pairs(docs, threshold=min(thresholds))
+    cand = minhash_lsh_pairs(docs)
+    flagged = truth.join(
+        cand.withColumn("_hit", F.lit(1)), on=["doc_a", "doc_b"], how="left"
+    ).select("doc_a", "jaccard", F.coalesce(F.col("_hit"), F.lit(0)).alias("_hit"))
+    spark = docs.sparkSession
+    # the grid rides as (integer pct, double threshold) pairs: the pct is
+    # the OUTPUT key (integers sort/hash identically everywhere); the
+    # double literal does the comparison (identical literal on both engines)
+    thr = spark.range(1).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(int(round(t * 100))).cast("long").alias("threshold_pct"),
+                        F.lit(float(t)).alias("_t"),
+                    )
+                    for t in sorted(thresholds)
+                ]
+            )
+        ).alias("_g")
+    ).select("_g.threshold_pct", "_g._t")
+    per = (
+        F.broadcast(thr)
+        .join(flagged, on=F.col("jaccard") >= F.col("_t"), how="left")
+        .groupBy("threshold_pct")
+        .agg(
+            F.count(F.col("doc_a")).cast("long").alias("n_truth"),
+            F.coalesce(F.sum("_hit"), F.lit(0)).cast("long").alias("n_hit"),
+        )
+    )
+    n_cand = cand.agg(F.count(F.lit(1)).cast("long").alias("n_cand"))
+    return per.crossJoin(F.broadcast(n_cand)).select(
+        "threshold_pct",
+        "n_truth",
+        "n_hit",
+        "n_cand",
+        F.when(
+            F.col("n_truth") > 0,
+            F.round(F.col("n_hit").cast("double") / F.col("n_truth"), 6),
+        ).alias("recall_at_t"),
+        F.when(
+            F.col("n_cand") > 0,
+            F.round(F.col("n_hit").cast("double") / F.col("n_cand"), 6),
+        ).alias("precision_at_t"),
+    )
+
+
 HEX = "0123456789abcdef"
 
 

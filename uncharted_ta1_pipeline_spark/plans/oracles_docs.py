@@ -691,6 +691,37 @@ FROM methods m CROSS JOIN per_q p
 LEFT JOIN hits h ON h.method = m.method AND h.query_id = p.query_id
 """
 
+# Recall/precision of the MinHash-LSH candidate generator vs the exact
+# shingle-Jaccard truth set, per threshold — composed verbatim from the two
+# pair oracles above (same never-drifts rule as ann_recall).  The threshold
+# grid must start at the truth query's own threshold (0.3).
+ORACLES_DOCS["dedup_recall"] = f"""
+WITH truth AS (SELECT * FROM ({ORACLES_DOCS["ngram_jaccard_pairs"]})),
+cand AS (SELECT * FROM ({ORACLES_DOCS["minhash_lsh_pairs"]})),
+flagged AS (
+  SELECT t.doc_a, t.jaccard,
+         CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END AS hit
+  FROM truth t LEFT JOIN cand c
+    ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+),
+thr AS (SELECT CAST(pct AS BIGINT) AS threshold_pct, CAST(v AS DOUBLE) AS t
+        FROM (VALUES (30, 0.3), (50, 0.5), (70, 0.7)) AS g(pct, v)),
+per AS (
+  SELECT thr.threshold_pct,
+         CAST(count(f.doc_a) AS BIGINT) AS n_truth,
+         CAST(coalesce(sum(f.hit), 0) AS BIGINT) AS n_hit
+  FROM thr LEFT JOIN flagged f ON f.jaccard >= thr.t
+  GROUP BY thr.threshold_pct
+),
+nc AS (SELECT CAST(count(*) AS BIGINT) AS n_cand FROM cand)
+SELECT p.threshold_pct, p.n_truth, p.n_hit, nc.n_cand,
+       CASE WHEN p.n_truth > 0
+            THEN round(p.n_hit * 1.0 / p.n_truth, 6) END AS recall_at_t,
+       CASE WHEN nc.n_cand > 0
+            THEN round(p.n_hit * 1.0 / nc.n_cand, 6) END AS precision_at_t
+FROM per p CROSS JOIN nc
+"""
+
 
 # Gopher-style repetition signals: dup-word / dup-2gram fractions and the
 # top-2gram share, per document — list-lambda twin of

@@ -91,6 +91,12 @@ def q_ann_recall(spark, sf_dir):
     return ann_recall(_emb(spark, sf_dir), n_queries=5, k=10)
 
 
+def q_dedup_recall(spark, sf_dir):
+    # threshold grid starts at q_ngram_jaccard_pairs' own 0.3 so the truth
+    # window is the registered exact query, not a new one
+    return dd.dedup_recall(_docs(spark, sf_dir), thresholds=(0.3, 0.5, 0.7))
+
+
 def q_lang_id(spark, sf_dir):
     d = _docs(spark, sf_dir)
     return d.select(
@@ -302,6 +308,7 @@ QUERIES_DOCS = {
     "ivf_cluster_stats": q_ivf_cluster_stats,
     "ivf_topk": q_ivf_topk,
     "ann_recall": q_ann_recall,
+    "dedup_recall": q_dedup_recall,
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
     "token_count": q_token_count,
