@@ -128,3 +128,34 @@ def test_pack_sequences_single_exchange_pruned_scan(spark):
     assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
     assert plan.count("FileScan") == 1
     assert "ReadSchema: struct<doc_id:bigint,text:string,source:string>" in plan
+
+
+def test_regression_state_bucketed_fused_plan(spark):
+    """The r5 fused state pass: first_us arrives via one broadcast per-key
+    min (no second full-stream shuffle), and the totals aggregation shares
+    the (key, chunk) exchange with the within-chunk window — visible as
+    ReusedExchange in the finalized adaptive plan.  A regression here
+    re-adds a full-stream pass that costs ~30% of the state stage
+    (BENCH/FINDINGS.md r5 A/B)."""
+    from uncharted_ta1_pipeline_spark.operators.asof import regression_state_bucketed
+    from uncharted_ta1_pipeline_spark.sources.transcripts import load_transcripts
+
+    df = regression_state_bucketed(load_transcripts(spark, SF_SMOKE), chunk_size=32)
+    df.collect()
+    plan = _plan(df)
+    assert "isFinalPlan=true" in plan
+    # the adaptive plan string prints the final plan THEN the initial plan;
+    # count only the final section or every exchange is double-counted
+    final = plan.split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in final or "BroadcastExchange" in final, final[:2000]
+    assert "ReusedExchange" in final, final[:2000]
+    # measured 5: (key,chunk) stream + one-row-per-chunk offset window +
+    # the firsts per-key min agg + the transcripts derivation's two
+    # window exchanges; the fused claims ride the ReusedExchange nodes
+    # (full-width stream + firsts broadcast dim).  More means a pass
+    # stopped sharing its partitioning (the pre-fuse r4 shape carried two
+    # more full-stream passes — BENCH/FINDINGS.md r5).
+    n_exchanges = final.count("Exchange hashpartitioning(")
+    n_reused = final.count("ReusedExchange")
+    assert n_reused >= 2, f"fused reuse lost: {n_reused}\n{final[:2000]}"
+    assert n_exchanges <= 5, f"state-pass exchanges regressed: {n_exchanges}\n{final[:2000]}"
