@@ -190,16 +190,20 @@ def main() -> None:
     }
     spark.stop()
     # full record to disk (committed with the repo), short line to stdout —
-    # the driver's 2000-char tail capture must contain the whole line
-    full_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)),
-        "BENCH", "bench_full_latest.json")
-    try:
-        with open(full_path, "w") as f:
-            json.dump(result, f, indent=1)
-        result["queries_file"] = "BENCH/bench_full_latest.json"
-    except OSError:
-        pass
+    # the driver's 2000-char tail capture must contain the whole line.
+    # Synth probes (bench_scaling legs) skip the write: they cover one
+    # query on synthetic input and were silently clobbering the standing
+    # full-registry record (observed twice; restored from git each time).
+    if not args.synth:
+        full_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "BENCH", "bench_full_latest.json")
+        try:
+            with open(full_path, "w") as f:
+                json.dump(result, f, indent=1)
+            result["queries_file"] = "BENCH/bench_full_latest.json"
+        except OSError:
+            pass
     print(compact_result(result))
 
 

@@ -171,3 +171,31 @@ def test_pipeline_end_to_end_with_halt_and_resume(spark, tmp_path):
     by_stage = {m["stage_id"]: m for m in r2}
     assert by_stage["sessionize"]["buckets_computed"] == 0  # fully cached
     assert by_stage["cumulative"]["buckets_computed"] == 1  # only the wiped one
+
+
+def test_empty_stage_output_roundtrip(spark, tmp_path):
+    """A stage that legitimately produces ZERO rows commits row_count=0
+    manifests and reads back as an empty frame with the original schema
+    (from the per-config-hash schema sidecar); downstream stages consume
+    the empty input and the pipeline completes — and resumes — cleanly."""
+    from uncharted_ta1_pipeline_spark.plans.pipeline import Pipeline, Stage
+
+    t = _load(spark)
+    wd = str(tmp_path / "wd")
+    stages = [
+        Stage("drop_all", lambda d: d.filter(F.lit(False)), {}),
+        Stage("count_by_conv", lambda d: d.groupBy("conv_id").count(), {}),
+    ]
+    p = Pipeline(stages, wd, n_buckets=4)
+    out1 = p.run(spark, t, run_id="r1")
+    assert out1.count() == 0
+    assert out1.columns == ["conv_id", "count"]
+
+    out2 = p.run(spark, t, run_id="r2")  # resume over the empty checkpoints
+    assert out2.count() == 0
+    metrics = [
+        json.loads(line) for line in open(os.path.join(wd, "metrics.jsonl"))
+    ]
+    r2 = {m["stage_id"]: m for m in metrics if m["run_id"] == "r2"}
+    assert r2["drop_all"]["buckets_computed"] == 0  # fully cached
+    assert r2["count_by_conv"]["buckets_computed"] == 0

@@ -135,6 +135,17 @@ def write_stage(
     spark = df.sparkSession
     rows_out = 0
     if pending:
+        # persist the stage schema beside the manifests (atomically, keyed
+        # by the same config hash) so a stage that legitimately produces
+        # ZERO rows — no bucket=K/ dirs, nothing for parquet to infer —
+        # still reads back as an empty frame with the right schema instead
+        # of UNABLE_TO_INFER_SCHEMA killing the resume path
+        mdir = _manifest_dir(out_dir)
+        os.makedirs(mdir, exist_ok=True)
+        stmp = os.path.join(mdir, f".schema-{h}.json.tmp")
+        with open(stmp, "w") as f:
+            json.dump(df.schema.jsonValue(), f)
+        os.replace(stmp, os.path.join(mdir, f"schema-{h}.json"))
         bdf = _bucketed(df, n_buckets)
         if len(pending) < n_buckets:
             bdf = bdf.filter(F.col("bucket").isin(pending))
@@ -316,6 +327,16 @@ def read_stage(
         raise RuntimeError(
             f"stage {stage_id}: {len(missing)} uncommitted buckets {missing[:8]}..."
         )
+    schema_path = os.path.join(_manifest_dir(out_dir), f"schema-{h}.json")
+    if not any(
+        name.startswith("bucket=") for name in os.listdir(out_dir)
+    ) and os.path.isfile(schema_path):
+        # all committed buckets are empty (write_stage commits row_count=0
+        # manifests): reconstruct the empty frame from the saved schema
+        from pyspark.sql.types import StructType
+
+        with open(schema_path) as f:
+            return spark.createDataFrame([], StructType.fromJson(json.load(f)))
     df = spark.read.parquet(out_dir)
     if len(done) < n_buckets:
         df = df.filter(F.col("bucket").isin(list(done)))

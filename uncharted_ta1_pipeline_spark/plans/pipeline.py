@@ -166,21 +166,29 @@ class Pipeline:
         input_df: DataFrame,
         run_id: str = "run",
         halt_min_turns: int = 2,
+        halt_fn: Callable[[DataFrame], DataFrame] | None = None,
+        key: str = "conv_id",
     ) -> DataFrame:
         """Execute all stages with checkpoint-resume; returns the final
-        stage's committed output."""
-        # halt once, up front (computed cheaply; quarantined convs skip
+        stage's committed output.
+
+        ``halt_fn(df) -> (key, halt_reason)`` lets non-conversation DAGs
+        (e.g. document-curation over the documents table, keyed on doc_id)
+        supply their own unprocessability predicate; the default is the
+        conversation-shaped ``halt_predicate``.  ``key`` names the entity
+        column the halt quarantines on (and the anti-join key).
+        """
+        # halt once, up front (computed cheaply; quarantined entities skip
         # every downstream stage but are recorded)
-        halted = halt_predicate(input_df, min_turns=halt_min_turns)
+        if halt_fn is None:
+            halted = halt_predicate(input_df, min_turns=halt_min_turns)
+            halt_cfg: dict = {"min_turns": halt_min_turns}
+        else:
+            halted = halt_fn(input_df)
+            halt_cfg = {"halt_fn": getattr(halt_fn, "__name__", "custom")}
         hdir = os.path.join(self.workdir, "quarantine")
-        mf.write_stage(
-            halted.withColumnRenamed("conv_id", "conv_id"),
-            hdir,
-            "quarantine",
-            {"min_turns": halt_min_turns},
-            n_buckets=1,
-        )
-        live = input_df.join(halted.select("conv_id"), on="conv_id", how="left_anti")
+        mf.write_stage(halted, hdir, "quarantine", halt_cfg, n_buckets=1)
+        live = input_df.join(halted.select(key), on=key, how="left_anti")
 
         cur = live
         for st in self.stages:
