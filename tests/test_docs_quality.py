@@ -145,3 +145,16 @@ def test_oov_rate_vocab_cut(spark):
     rows = {r.doc_id: r for r in oov_rate(d, vocab_size=1).collect()}
     assert (rows[1].n_tokens, rows[1].n_oov, rows[1].oov_rate) == (3, 1, 0.333333)
     assert (rows[2].n_tokens, rows[2].n_oov, rows[2].oov_rate) == (2, 1, 0.5)
+
+
+def test_curation_funnel_monotone_and_partitioned(spark):
+    """Properties the oracle twin can't express as a hash: the funnel is
+    non-increasing through the filter stages, and the split sizes
+    partition the decontaminated set exactly."""
+    from uncharted_ta1_pipeline_spark.operators.curation import curation_funnel
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = {r.stage: r.n_docs for r in curation_funnel(docs).collect()}
+    assert rows["input"] >= rows["quality"] >= rows["dedup"] >= rows["decontam"]
+    splits = sum(v for k, v in rows.items() if k.startswith("split_"))
+    assert splits == rows["decontam"]

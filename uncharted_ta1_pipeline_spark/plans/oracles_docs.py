@@ -960,3 +960,82 @@ SELECT tbl AS table,
        CAST(max(n) AS BIGINT) AS max_occupancy
 FROM occ GROUP BY tbl
 """
+
+
+# End-to-end curation funnel — the quality/dedup/contamination/split
+# formulas above chained as CTEs with per-stage counts (the composition
+# the capstone pipeline test runs through the manifest layer).
+ORACLES_DOCS["curation_funnel"] = f"""
+WITH feat AS (
+  SELECT doc_id, text,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         round(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+               / length(text), 6) AS punct_ratio,
+         round(len(list_filter(string_split(lower(text), ' '),
+                               w -> w IN {_MARKERS}))
+               / len(string_split(lower(text), ' ')), 6) AS stop_ratio
+  FROM documents
+),
+q AS (
+  SELECT doc_id, text FROM feat
+  WHERE round(least(n_words / 50.0, 1.0) * 0.5
+              + (1 - least(punct_ratio * 10, 1.0)) * 0.3
+              + least(stop_ratio * 10, 1.0) * 0.2, 6) >= 0.3
+),
+surv AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(text)),
+d AS (SELECT q.doc_id, q.text FROM q JOIN surv USING (doc_id)),
+shingled AS (
+  SELECT doc_id,
+         list_transform(
+           range(greatest(len(string_split(text, ' ')) - 1, 0)),
+           i -> (string_split(text, ' '))[i + 1] || '_' || (string_split(text, ' '))[i + 2]
+         ) AS shingles
+  FROM d
+),
+dsh AS (SELECT doc_id, u.s AS sh FROM shingled, unnest(shingles) AS u(s)),
+marked AS (
+  SELECT doc_id,
+         substr(md5('{BENCH_SALT}' || CAST(doc_id AS VARCHAR)), 1, 1) = '0'
+           AS bench
+  FROM d
+),
+bench_sh AS (
+  SELECT DISTINCT s.sh FROM dsh s JOIN marked m USING (doc_id) WHERE m.bench
+),
+cand_sh AS (
+  SELECT DISTINCT s.doc_id, s.sh FROM dsh s JOIN marked m USING (doc_id)
+  WHERE NOT m.bench
+),
+hits AS (
+  SELECT c.doc_id, count(*) AS n_shingles,
+         CAST(sum(CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_hits
+  FROM cand_sh c LEFT JOIN bench_sh b ON c.sh = b.sh
+  GROUP BY c.doc_id
+),
+keepers AS (
+  SELECT doc_id FROM hits
+  WHERE round(CASE WHEN n_shingles > 0
+                   THEN n_hits / n_shingles ELSE 0.0 END, 6) < 0.9
+),
+c AS (SELECT d.doc_id FROM d JOIN keepers USING (doc_id)),
+s2 AS (
+  SELECT doc_id,
+         CASE WHEN {_U_SPLIT} < 0.8 THEN 'train'
+              WHEN {_U_SPLIT} < 0.9 THEN 'val'
+              ELSE 'test' END AS split
+  FROM c
+)
+SELECT CAST(stage_idx AS INTEGER) AS stage_idx, stage,
+       CAST(n_docs AS BIGINT) AS n_docs
+FROM (
+  SELECT 0 AS stage_idx, 'input' AS stage, count(*) AS n_docs FROM documents
+  UNION ALL SELECT 1, 'quality', count(*) FROM q
+  UNION ALL SELECT 2, 'dedup', count(*) FROM d
+  UNION ALL SELECT 3, 'decontam', count(*) FROM c
+  UNION ALL
+  SELECT 3 + CASE split WHEN 'train' THEN 1 WHEN 'val' THEN 2 ELSE 3 END,
+         'split_' || split, count(*)
+  FROM s2 GROUP BY split
+)
+"""

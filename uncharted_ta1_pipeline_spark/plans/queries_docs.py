@@ -352,3 +352,16 @@ def q_ann_bucket_stats(spark, sf_dir):
 
 
 QUERIES_DOCS["ann_bucket_stats"] = q_ann_bucket_stats
+
+
+def q_curation_funnel(spark, sf_dir):
+    """End-to-end curation funnel: per-stage survivor counts for the
+    quality -> exact-dedup -> decontamination -> split DAG (the same
+    composition tests/test_curation_pipeline.py runs through the manifest
+    layer; see operators/curation.py)."""
+    from uncharted_ta1_pipeline_spark.operators.curation import curation_funnel
+
+    return curation_funnel(_docs(spark, sf_dir))
+
+
+QUERIES_DOCS["curation_funnel"] = q_curation_funnel
