@@ -752,3 +752,72 @@ def line_dedup(
         )
         .select("doc_id", "clean_text", "n_lines", "n_removed")
     )
+
+
+def span_dedup(
+    docs: DataFrame, k: int = 8, min_df: int = 2, text_col: str = "text"
+) -> DataFrame:
+    """Cross-document repeated-span detection (the exact-substring dedup
+    signal of Lee et al. 2022, at word-k-gram granularity): a k-word span
+    whose hash occurs in >= ``min_df`` DISTINCT documents is duplicated
+    text; each document reports how much of it is made of such spans.
+
+    Output: (doc_id, n_spans, n_dup_spans, dup_span_share) — one row per
+    document, including docs shorter than ``k`` words (n_spans = 0,
+    share NULL).  Positions are counted per-occurrence, so a boilerplate
+    footer pasted twice in one doc counts twice — the share measures text
+    mass, not vocabulary.
+
+    Scale: explode is O(total words) rows of fixed-width md5 keys; the
+    span-frequency table is one hash-groupBy (inverted index, map-side
+    combined after the per-doc distinct) — the same linear shape as
+    ``line_dedup``, no pair generation at all.  In-doc-only repetition is
+    deliberately excluded (df counts distinct docs); ``repetition_features``
+    owns that signal.  Reference analog re-expressed: cross-tile duplicate
+    suppression keyed on content identity,
+    /root/reference/tasks/point_extraction/tiling.py:277-413.
+    """
+    words = F.split(F.col(text_col), " ")
+    base = docs.select(
+        "doc_id",
+        words.alias("_w"),
+        F.greatest(F.size(words) - k + 1, F.lit(0)).alias("_n"),
+    )
+    # sequence(1, 0) descends in Spark — guard zero-span docs explicitly
+    idx = F.when(F.col("_n") >= 1, F.sequence(F.lit(1), F.col("_n"))).otherwise(
+        F.array().cast("array<int>")
+    )
+    sp = base.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                idx, lambda i: F.md5(F.array_join(F.slice(F.col("_w"), i, k), " "))
+            )
+        ).alias("_h"),
+    )
+    dfc = (
+        sp.distinct()
+        .groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("_df"))
+    )
+    perdoc = (
+        sp.join(dfc, on="_h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_spans"),
+            F.sum((F.col("_df") >= min_df).cast("long")).alias("n_dup_spans"),
+        )
+    )
+    return (
+        base.select("doc_id")
+        .join(perdoc, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias("n_dup_spans"),
+            F.when(
+                F.col("n_spans") > 0,
+                F.round(F.col("n_dup_spans") / F.col("n_spans"), 6),
+            ).alias("dup_span_share"),
+        )
+    )

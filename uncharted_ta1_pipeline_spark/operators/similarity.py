@@ -491,3 +491,84 @@ def ann_recall(
         )
         out = m if out is None else out.unionByName(m)
     return out
+
+
+# SemDeDup guards, shared with the DuckDB oracle generator: a vector is a
+# semantic duplicate when an EARLIER (smaller-id) member of its IVF cluster
+# sits within the cosine threshold; only the first SEMDEDUP_MAX_EARLIER
+# members of a cluster (by id) act as dedup sources, so one degenerate
+# cluster cannot go quadratic — the same deterministic stop-list shape as
+# IVF_MAX_CLUSTER / the LSH bucket cap.  The 0.35 default is tuned to the
+# synthetic corpus's near-orthogonal embedding geometry (within-cluster
+# cosine mass tops out near 0.5); production corpora with genuinely
+# semantic embeddings run this at 0.9+ — the threshold is the user dial.
+SEMDEDUP_THRESHOLD = 0.35
+SEMDEDUP_MAX_EARLIER = 256
+
+
+def semdedup(
+    emb: DataFrame,
+    threshold: float = SEMDEDUP_THRESHOLD,
+    n_centroids: int = IVF_CENTROIDS,
+    max_earlier: int = SEMDEDUP_MAX_EARLIER,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): coarse
+    k-means (the shared IVF quantizer) partitions the corpus, then pairwise
+    cosine runs ONLY within a cluster — the quadratic step is bounded by
+    cluster occupancy instead of corpus size.  The keep rule is
+    deterministic and engine-portable: the smallest-id member of any
+    within-threshold neighborhood survives; a vector is flagged ``is_dup``
+    iff some earlier same-cluster vector has round(cosine, 6) >= threshold.
+
+    Output: (vec_id, cluster, is_dup, n_dup_sources, max_sim_earlier) — one
+    row per vector, so downstream curation can `filter(is_dup = 0)` without
+    a second join.  Rounded-cosine comparison keeps the threshold test
+    bit-identical across engines (same convention as
+    ``embedding_cosine_pairs``).
+
+    Scale: one IVF assignment (broadcast codebook), one cluster-local
+    self-join whose left side is capped at ``max_earlier`` rows per cluster
+    (deterministic by id), one bounded aggregate.  No corpus x corpus
+    shuffle anywhere; cluster count should track corpus size exactly as the
+    ann_recall/ann_bucket_stats telemetry drives for LSH.  Reference analog
+    re-expressed: duplicate-point suppression after tiling,
+    /root/reference/tasks/point_extraction/tiling.py:277-413 (keep-first
+    dedup inside an overlap neighborhood).
+    """
+    v = emb.select(
+        F.col(id_col), F.col("embedding").cast("array<double>").alias("_v")
+    )
+    m = (
+        ivf_assign(emb, n_centroids, id_col)
+        .select(id_col, F.col("cluster").cast("long").alias("cluster"))
+        .join(v, on=id_col)
+    )
+    w = Window.partitionBy("cluster").orderBy(id_col)
+    sources = (
+        m.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_earlier)
+        .select(
+            F.col("cluster"),
+            F.col(id_col).alias("_src_id"),
+            F.col("_v").alias("_src_v"),
+        )
+    )
+    hits = (
+        m.join(sources, on="cluster")
+        .filter(F.col("_src_id") < F.col(id_col))
+        .withColumn("_sim", F.round(cosine(F.col("_src_v"), F.col("_v")), 6))
+        .filter(F.col("_sim") >= threshold)
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("_n_src"),
+            F.max("_sim").alias("_max_sim"),
+        )
+    )
+    return m.join(hits, on=id_col, how="left").select(
+        id_col,
+        "cluster",
+        F.coalesce((F.col("_n_src") > 0).cast("long"), F.lit(0)).alias("is_dup"),
+        F.coalesce(F.col("_n_src"), F.lit(0)).cast("long").alias("n_dup_sources"),
+        F.coalesce(F.col("_max_sim"), F.lit(0.0)).alias("max_sim_earlier"),
+    )

@@ -122,3 +122,49 @@ def featurize(df: DataFrame, rolling_width: int = 5) -> DataFrame:
     out = with_ffill_tool(out)
     out = with_sessions(out)
     return out
+
+
+def with_rolling_multi(df: DataFrame, widths=(5, 25, 125)) -> DataFrame:
+    """Multi-horizon rolling features: the ``with_rolling`` trio at several
+    strictly-past frame widths in ONE pass.  Every frame shares the same
+    (conv_id) partitioning and (ts, turn_idx) ordering, so Spark plans a
+    single sort+exchange and evaluates all horizons over one sorted run —
+    adding a horizon costs frame arithmetic, not another shuffle.  The
+    geometric width ladder (5, 25, 125) is the standard multi-resolution
+    recency profile a ranking/feature model consumes (short-burst vs
+    session-scale vs conversation-scale activity).
+
+    Zero-leakage contract unchanged: every frame ends at -1.  Analog of the
+    reference's multi-scale tile pyramid over one image scan,
+    /root/reference/tasks/point_extraction/tiling.py:46-120.
+
+    Determinism: the signal mean runs over µ-quantized values
+    (``floor(signal * 1e6)`` as int64) — a 125-element double sum is long
+    enough for Spark's and DuckDB's summation orders to land an ulp apart
+    (measured: 23 cells at sf0.01), while the int64 sum is exact and
+    order-free in both engines; one division + round(6) at the end.  Same
+    lever as IVF_QUANT / the integer-µs gap percentiles.
+    """
+    out = df
+    qsig = F.floor(F.col("signal") * F.lit(1000000.0)).cast("long")
+    for width in widths:
+        w = turn_order().rowsBetween(-width, -1)
+        out = (
+            out.withColumn(
+                f"rolling_turns_{width}",
+                F.coalesce(F.count(F.lit(1)).over(w), F.lit(0)),
+            )
+            .withColumn(
+                f"rolling_tools_{width}",
+                F.coalesce(F.sum(_tool_used()).over(w), F.lit(0)),
+            )
+            .withColumn(
+                f"rolling_signal_mean_{width}",
+                F.round(
+                    F.sum(qsig).over(w).cast("double")
+                    / (F.lit(1000000.0) * F.count(F.lit(1)).over(w)),
+                    6,
+                ),
+            )
+        )
+    return out

@@ -423,3 +423,20 @@ SELECT r.conv_id, r.turn_idx, r.split,
        (f.has_train + f.has_test) = 2 AS conv_straddles
 FROM rows_s r JOIN flags f ON r.conv_id = f.conv_id
 """
+
+
+# multi-horizon twin of ORACLES["rolling"] — same frames at widths 5/25/125
+ORACLES["rolling_multi"] = f"""
+{_T}
+SELECT conv_id, turn_idx,
+       coalesce(count(*)          OVER ({_ORD} ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING), 0) AS rolling_turns_5,
+       CAST(coalesce(sum({_TOOL_USED}) OVER ({_ORD} ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS rolling_tools_5,
+       round(sum(CAST(floor(signal * 1000000) AS BIGINT)) OVER ({_ORD} ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING) / (1000000.0 * count(*) OVER ({_ORD} ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING)), 6) AS rolling_signal_mean_5,
+       coalesce(count(*)          OVER ({_ORD} ROWS BETWEEN 25 PRECEDING AND 1 PRECEDING), 0) AS rolling_turns_25,
+       CAST(coalesce(sum({_TOOL_USED}) OVER ({_ORD} ROWS BETWEEN 25 PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS rolling_tools_25,
+       round(sum(CAST(floor(signal * 1000000) AS BIGINT)) OVER ({_ORD} ROWS BETWEEN 25 PRECEDING AND 1 PRECEDING) / (1000000.0 * count(*) OVER ({_ORD} ROWS BETWEEN 25 PRECEDING AND 1 PRECEDING)), 6) AS rolling_signal_mean_25,
+       coalesce(count(*)          OVER ({_ORD} ROWS BETWEEN 125 PRECEDING AND 1 PRECEDING), 0) AS rolling_turns_125,
+       CAST(coalesce(sum({_TOOL_USED}) OVER ({_ORD} ROWS BETWEEN 125 PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS rolling_tools_125,
+       round(sum(CAST(floor(signal * 1000000) AS BIGINT)) OVER ({_ORD} ROWS BETWEEN 125 PRECEDING AND 1 PRECEDING) / (1000000.0 * count(*) OVER ({_ORD} ROWS BETWEEN 125 PRECEDING AND 1 PRECEDING)), 6) AS rolling_signal_mean_125
+FROM transcripts
+"""

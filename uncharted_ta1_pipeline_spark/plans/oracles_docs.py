@@ -1039,3 +1039,73 @@ FROM (
   FROM s2 GROUP BY split
 )
 """
+
+
+# SemDeDup twin: replays the IVF codebook (shared _IVF_BASE), then the
+# cluster-local earlier-id cosine test with the same rounded-compare
+# convention as embedding_cosine_pairs.
+from uncharted_ta1_pipeline_spark.operators.similarity import (  # noqa: E402
+    SEMDEDUP_MAX_EARLIER,
+    SEMDEDUP_THRESHOLD,
+)
+
+ORACLES_DOCS["semdedup"] = f"""
+WITH
+{_IVF_BASE},
+m AS (
+  SELECT a1.vec_id, CAST(a1.cluster AS BIGINT) AS cluster, v.x
+  FROM a1 JOIN v USING (vec_id)
+),
+src AS (
+  SELECT cluster, vec_id AS src_id, x AS src_x FROM (
+    SELECT m.*, row_number() OVER (PARTITION BY cluster ORDER BY vec_id) AS rn
+    FROM m
+  ) WHERE rn <= {SEMDEDUP_MAX_EARLIER}
+),
+hits AS (
+  SELECT m.vec_id,
+         CAST(count(*) AS BIGINT) AS n_src,
+         max(round(list_cosine_similarity(s.src_x, m.x), 6)) AS max_sim
+  FROM m JOIN src s ON s.cluster = m.cluster AND s.src_id < m.vec_id
+  WHERE round(list_cosine_similarity(s.src_x, m.x), 6) >= {SEMDEDUP_THRESHOLD}
+  GROUP BY m.vec_id
+)
+SELECT m.vec_id, m.cluster,
+       CAST(CASE WHEN h.n_src > 0 THEN 1 ELSE 0 END AS BIGINT) AS is_dup,
+       CAST(coalesce(h.n_src, 0) AS BIGINT) AS n_dup_sources,
+       coalesce(h.max_sim, 0.0) AS max_sim_earlier
+FROM m LEFT JOIN hits h USING (vec_id)
+"""
+
+# span_dedup twin: same md5(k-word-window) keys; DuckDB range(1, stop) is
+# empty when stop <= 1, mirroring the Spark side's guarded sequence.
+ORACLES_DOCS["span_dedup"] = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+),
+sp AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(words) - 8 + 2),
+                i -> md5(array_to_string(words[i:i+7], ' ')))) AS h
+  FROM w
+),
+dfc AS (
+  SELECT h, count(*) AS df
+  FROM (SELECT DISTINCT doc_id, h FROM sp) GROUP BY h
+),
+perdoc AS (
+  SELECT sp.doc_id,
+         CAST(count(*) AS BIGINT) AS n_spans,
+         CAST(sum(CASE WHEN dfc.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup_spans
+  FROM sp JOIN dfc USING (h)
+  GROUP BY sp.doc_id
+)
+SELECT d.doc_id,
+       coalesce(p.n_spans, CAST(0 AS BIGINT)) AS n_spans,
+       coalesce(p.n_dup_spans, CAST(0 AS BIGINT)) AS n_dup_spans,
+       CASE WHEN p.n_spans > 0
+            THEN round(p.n_dup_spans * 1.0 / p.n_spans, 6) END
+         AS dup_span_share
+FROM documents d LEFT JOIN perdoc p USING (doc_id)
+"""

@@ -305,3 +305,20 @@ def q_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["temporal_split"] = q_temporal_split
+
+
+def q_rolling_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-horizon rolling features (5/25/125 strictly-past turns) in one
+    window pass — one sort+exchange serves every horizon."""
+    t = win.with_rolling_multi(load_transcripts(spark, sf_dir), widths=(5, 25, 125))
+    cols = ["conv_id", "turn_idx"]
+    for width in (5, 25, 125):
+        cols += [
+            f"rolling_turns_{width}",
+            f"rolling_tools_{width}",
+            f"rolling_signal_mean_{width}",
+        ]
+    return t.select(*cols)
+
+
+QUERIES["rolling_multi"] = q_rolling_multi

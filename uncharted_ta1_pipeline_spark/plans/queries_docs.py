@@ -365,3 +365,22 @@ def q_curation_funnel(spark, sf_dir):
 
 
 QUERIES_DOCS["curation_funnel"] = q_curation_funnel
+
+
+def q_semdedup(spark, sf_dir):
+    """SemDeDup: within-IVF-cluster cosine dedup, keep-smallest-id rule."""
+    from uncharted_ta1_pipeline_spark.operators.similarity import semdedup
+
+    return semdedup(_emb(spark, sf_dir))
+
+
+QUERIES_DOCS["semdedup"] = q_semdedup
+
+
+def q_span_dedup(spark, sf_dir):
+    """Cross-document repeated k-word-span share (exact-substring dedup
+    signal at k-gram granularity)."""
+    return dd.span_dedup(_docs(spark, sf_dir), k=8)
+
+
+QUERIES_DOCS["span_dedup"] = q_span_dedup
