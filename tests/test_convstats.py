@@ -103,3 +103,24 @@ def test_lm_score_plan_has_no_cartesian_and_broadcasts_scalar(spark):
     plan = lm_score(docs)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_winsorize_clamps_to_fences(spark):
+    """A single outlier turn is clamped to the upper Tukey fence and
+    flagged; in-fence turns pass through unchanged (µ-exact round trip)."""
+    import pyspark.sql.functions as F
+
+    from uncharted_ta1_pipeline_spark.operators.convstats import winsorize_signal
+
+    rows = [("c", i, f"2024-01-01 00:{i:02d}:00", float(v))
+            for i, v in enumerate([1, 2, 3, 4, 1000])]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, ts string, signal double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {r["turn_idx"]: r.asDict()
+           for r in winsorize_signal(df).collect()}
+    assert out[0]["signal_winsorized"] == 1.0 and out[0]["was_clipped"] == 0
+    assert out[3]["signal_winsorized"] == 4.0 and out[3]["was_clipped"] == 0
+    # quartiles of [1,2,3,4,1000]e6 µ: p25=2e6, p75=4e6, hi fence=7e6 -> 7.0
+    assert out[4]["was_clipped"] == 1
+    assert out[4]["signal_winsorized"] == 7.0

@@ -167,3 +167,52 @@ def gap_quantile_features(df: DataFrame, fence_k: float = 1.5) -> DataFrame:
             "outlier_share"
         ),
     )
+
+
+def winsorize_signal(df: DataFrame, fence_k: float = 1.5) -> DataFrame:
+    """Per-turn winsorized signal: clamp each turn's ``signal`` to its
+    conversation's Tukey fences (p25/p75 ± ``fence_k``·iqr) — the
+    downstream consumer `gap_quantile_features` exists to feed ("bursty
+    conversations whose timing features need winsorizing downstream").
+
+    Output: conv_id, turn_idx, signal_winsorized, was_clipped (0/1).
+
+    Exactness contract (inherited from gap_quantile_features verbatim):
+    the percentiles run over µ-quantized int64 signal, so the h=(n-1)p
+    interpolation at p ∈ {.25,.75} is exact in double in both engines;
+    the fences are rounded to WHOLE µ before the clamp, so the integer
+    vs whole-µ comparisons cannot flip on an ulp and the single /1e6 +
+    round(6) never lands on a decimal half-boundary.
+
+    Scale: one bounded groupBy (two percentiles over the µ-quantized
+    value->count map — bounded by the signal RANGE, not conversation
+    length) and one join back on conv_id, the same key — AQE coalesces it
+    into the existing exchange, exactly as gap_quantile_features.
+    Reference analog re-expressed: observation clamping to the geofence's
+    valid range, /root/reference/tasks/geo_referencing/geofence.py with
+    the MAD pre-pass of util.py:76-96.
+    """
+    qsig = F.floor(F.col("signal") * F.lit(1000000.0)).cast("long")
+    g = df.select("conv_id", "turn_idx", qsig.alias("_q"))
+    pct = g.groupBy("conv_id").agg(
+        F.expr("percentile(_q, 0.25)").alias("_p25"),
+        F.expr("percentile(_q, 0.75)").alias("_p75"),
+    )
+    iqr = F.col("_p75") - F.col("_p25")
+    lo = F.round(F.col("_p25") - fence_k * iqr, 0)
+    hi = F.round(F.col("_p75") + fence_k * iqr, 0)
+    return (
+        g.join(pct, on="conv_id")
+        .select(
+            "conv_id",
+            "turn_idx",
+            F.round(
+                F.least(F.greatest(F.col("_q").cast("double"), lo), hi)
+                / 1_000_000.0,
+                6,
+            ).alias("signal_winsorized"),
+            ((F.col("_q") < lo) | (F.col("_q") > hi)).cast("long").alias(
+                "was_clipped"
+            ),
+        )
+    )

@@ -539,10 +539,19 @@ def semdedup(
     v = emb.select(
         F.col(id_col), F.col("embedding").cast("array<double>").alias("_v")
     )
+    # hoist each vector's norm out of the pair loop: the per-pair cosine
+    # then costs one dot product instead of three array reductions, with
+    # bit-identical arithmetic (dot / (norm_src * norm_self), the exact
+    # float-op order of ``cosine``) — same rewrite that paid off for the
+    # IVF crossJoin
+    norm = F.sqrt(
+        F.aggregate(F.col("_v"), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
     m = (
         ivf_assign(emb, n_centroids, id_col)
         .select(id_col, F.col("cluster").cast("long").alias("cluster"))
         .join(v, on=id_col)
+        .withColumn("_nrm", norm)
     )
     w = Window.partitionBy("cluster").orderBy(id_col)
     sources = (
@@ -552,12 +561,20 @@ def semdedup(
             F.col("cluster"),
             F.col(id_col).alias("_src_id"),
             F.col("_v").alias("_src_v"),
+            F.col("_nrm").alias("_src_nrm"),
         )
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("_src_v"), F.col("_v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
     )
     hits = (
         m.join(sources, on="cluster")
         .filter(F.col("_src_id") < F.col(id_col))
-        .withColumn("_sim", F.round(cosine(F.col("_src_v"), F.col("_v")), 6))
+        .withColumn(
+            "_sim", F.round(dot / (F.col("_src_nrm") * F.col("_nrm")), 6)
+        )
         .filter(F.col("_sim") >= threshold)
         .groupBy(id_col)
         .agg(

@@ -440,3 +440,30 @@ SELECT conv_id, turn_idx,
        round(sum(CAST(floor(signal * 1000000) AS BIGINT)) OVER ({_ORD} ROWS BETWEEN 125 PRECEDING AND 1 PRECEDING) / (1000000.0 * count(*) OVER ({_ORD} ROWS BETWEEN 125 PRECEDING AND 1 PRECEDING)), 6) AS rolling_signal_mean_125
 FROM transcripts
 """
+
+
+# winsorize twin: same integer-µ percentile + whole-µ fence discipline as
+# gap_quantiles (quantile_cont over int64 is exact at p in {.25,.75})
+ORACLES["winsorize"] = f"""
+{_T},
+g AS (
+  SELECT conv_id, turn_idx,
+         CAST(floor(signal * 1000000) AS BIGINT) AS q
+  FROM transcripts
+),
+pct AS (
+  SELECT conv_id,
+         quantile_cont(q, 0.25) AS p25,
+         quantile_cont(q, 0.75) AS p75
+  FROM g GROUP BY conv_id
+)
+SELECT g.conv_id, g.turn_idx,
+       round(least(greatest(g.q * 1.0,
+                            round(p.p25 - 1.5 * (p.p75 - p.p25))),
+                   round(p.p75 + 1.5 * (p.p75 - p.p25)))
+             / 1000000.0, 6) AS signal_winsorized,
+       CAST(CASE WHEN g.q < round(p.p25 - 1.5 * (p.p75 - p.p25))
+                   OR g.q > round(p.p75 + 1.5 * (p.p75 - p.p25))
+                 THEN 1 ELSE 0 END AS BIGINT) AS was_clipped
+FROM g JOIN pct p ON g.conv_id = p.conv_id
+"""

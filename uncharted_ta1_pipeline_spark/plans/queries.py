@@ -322,3 +322,14 @@ def q_rolling_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["rolling_multi"] = q_rolling_multi
+
+
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-turn signal winsorized to per-conversation Tukey fences over
+    µ-quantized integers (exact cross-engine; operators/convstats.py)."""
+    from uncharted_ta1_pipeline_spark.operators.convstats import winsorize_signal
+
+    return winsorize_signal(load_transcripts(spark, sf_dir))
+
+
+QUERIES["winsorize"] = q_winsorize
