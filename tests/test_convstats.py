@@ -124,3 +124,35 @@ def test_winsorize_clamps_to_fences(spark):
     # quartiles of [1,2,3,4,1000]e6 µ: p25=2e6, p75=4e6, hi fence=7e6 -> 7.0
     assert out[4]["was_clipped"] == 1
     assert out[4]["signal_winsorized"] == 7.0
+
+
+def test_tool_chain_ngrams_skips_non_tool_turns(spark):
+    """Transitions pair CONSECUTIVE tool invocations, skipping non-tool
+    turns in between; ties get rank() semantics."""
+    import pyspark.sql.functions as F
+
+    from uncharted_ta1_pipeline_spark.operators.convstats import (
+        tool_chain_ngrams,
+    )
+
+    rows = [
+        ("c1", 0, "2024-01-01 00:00:00", "search"),
+        ("c1", 1, "2024-01-01 00:01:00", None),      # skipped
+        ("c1", 2, "2024-01-01 00:02:00", "fetch"),   # search>fetch
+        ("c1", 3, "2024-01-01 00:03:00", ""),        # skipped
+        ("c1", 4, "2024-01-01 00:04:00", "fetch"),   # fetch>fetch
+        ("c2", 0, "2024-01-01 00:00:00", "search"),
+        ("c2", 1, "2024-01-01 00:01:00", "fetch"),   # search>fetch
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, ts string, tool string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {r["bigram"]: r.asDict() for r in tool_chain_ngrams(df).collect()}
+    assert out["search>fetch"]["n_occurrences"] == 2
+    assert out["search>fetch"]["n_convs"] == 2
+    assert out["search>fetch"]["rk"] == 1
+    assert out["fetch>fetch"]["n_occurrences"] == 1
+    assert out["fetch>fetch"]["n_convs"] == 1
+    assert out["fetch>fetch"]["rk"] == 2
+    assert out["search>fetch"]["share"] == round(2 / 3, 6)
+    assert len(out) == 2  # no None/empty-tool bigrams anywhere

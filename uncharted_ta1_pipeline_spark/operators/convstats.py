@@ -216,3 +216,55 @@ def winsorize_signal(df: DataFrame, fence_k: float = 1.5) -> DataFrame:
             ),
         )
     )
+
+
+def tool_chain_ngrams(df: DataFrame, top_k: int = 20) -> DataFrame:
+    """Corpus-level tool-transition census: the top-k bigrams of
+    CONSECUTIVE tool invocations (non-tool turns skipped) across all
+    conversations — the "which tool follows which" profile that drives
+    tool-loop detection and agent-behavior features.
+
+    Output: bigram ("a>b"), n_occurrences, n_convs (distinct conversations
+    containing it), share of all transitions, rk (rank() — ties share a
+    rank, same convention as topk_with_ties).
+
+    Scale: the lag runs over the FILTERED tool stream (one window on the
+    same conv_id partitioning as every other per-conversation op); the
+    census groupBy is bounded by |tool vocab|² keys, so the global
+    share/rank window at the end orders a bounded histogram, never the
+    corpus (the approved global-window shape — see curriculum/eval_deciles).
+    Reference analog re-expressed: per-source keypoint histograms,
+    /root/reference/tasks/geo_referencing/coordinates_extractor.py:186-204.
+    """
+    t = df.filter(F.col("tool").isNotNull() & (F.col("tool") != "")).select(
+        "conv_id", "ts", "turn_idx", "tool"
+    )
+    w = Window.partitionBy("conv_id").orderBy(*_ORD)
+    big = (
+        t.withColumn("_prev", F.lag("tool").over(w))
+        .filter(F.col("_prev").isNotNull())
+        .select(
+            "conv_id",
+            F.concat_ws(">", "_prev", "tool").alias("bigram"),
+        )
+    )
+    c = big.groupBy("bigram").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+        F.countDistinct("conv_id").cast("long").alias("n_convs"),
+    )
+    wg = Window.orderBy(F.col("n_occurrences").desc(), F.col("bigram").asc())
+    return (
+        c.withColumn(
+            "share",
+            F.round(
+                F.col("n_occurrences")
+                / F.sum("n_occurrences").over(
+                    Window.partitionBy(F.lit(1))
+                ),
+                6,
+            ),
+        )
+        .withColumn("rk", F.rank().over(wg).cast("long"))
+        .filter(F.col("rk") <= top_k)
+        .select("bigram", "n_occurrences", "n_convs", "share", "rk")
+    )

@@ -467,3 +467,33 @@ SELECT g.conv_id, g.turn_idx,
                  THEN 1 ELSE 0 END AS BIGINT) AS was_clipped
 FROM g JOIN pct p ON g.conv_id = p.conv_id
 """
+
+
+# tool-transition census twin: lag over the filtered tool stream, bounded
+# bigram histogram, rank-with-ties top-k
+ORACLES["tool_chain_ngrams"] = f"""
+{_T},
+t AS (
+  SELECT conv_id, ts, turn_idx, tool FROM transcripts
+  WHERE tool IS NOT NULL AND tool <> ''
+),
+b AS (
+  SELECT conv_id, lag(tool) OVER ({_ORD}) AS prev, tool FROM t
+),
+big AS (
+  SELECT conv_id, prev || '>' || tool AS bigram FROM b WHERE prev IS NOT NULL
+),
+c AS (
+  SELECT bigram,
+         CAST(count(*) AS BIGINT) AS n_occurrences,
+         CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs
+  FROM big GROUP BY bigram
+),
+r AS (
+  SELECT *,
+         round(n_occurrences * 1.0 / sum(n_occurrences) OVER (), 6) AS share,
+         CAST(rank() OVER (ORDER BY n_occurrences DESC, bigram) AS BIGINT) AS rk
+  FROM c
+)
+SELECT bigram, n_occurrences, n_convs, share, rk FROM r WHERE rk <= 20
+"""

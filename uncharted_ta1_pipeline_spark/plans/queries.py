@@ -333,3 +333,14 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["winsorize"] = q_winsorize
+
+
+def q_tool_chain_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 consecutive tool-invocation bigrams across the corpus
+    (operators/convstats.py)."""
+    from uncharted_ta1_pipeline_spark.operators.convstats import tool_chain_ngrams
+
+    return tool_chain_ngrams(load_transcripts(spark, sf_dir))
+
+
+QUERIES["tool_chain_ngrams"] = q_tool_chain_ngrams
