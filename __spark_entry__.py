@@ -56,13 +56,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # rule: (1) operators added or rewritten this round first, (2) operators
 # whose last driver row is oldest next, (3) the rest, with the
 # freshest-green (r4 row AND pytest-covered) queries at the tail.
-# r5 head = the 15 queries new/changed this round, then every query whose
+# r5 head = the 19 queries new/changed this round, then every query whose
 # last green row is r03 (VERDICT r4 #5: nothing more than two rounds
-# stale) — fills the 50-row window (the last 3 tier-2 names spill past the
+# stale) — fills the 50-row window (the last tier-2 names spill past the
 # cap); the r4-green queries rotate out and stay pytest-covered by the
 # exact-comparison harness.
 _PRIORITY = [
     # tier 1 — new or changed this round (r5)
+    "tool_loops",           # NEW: per-conv same-tool run / loop detector
+    "assistant_latency",    # NEW: user->assistant response-latency profile
+    "conv_digest_dedup",    # NEW: conversation-level ordered-digest dedup
+    "per_group_sample",     # NEW: seeded per-group k-row cap
     "tool_chain_ngrams",    # NEW: corpus tool-transition bigram census
     "winsorize",            # NEW: per-conv Tukey-fence signal winsorizing
     "semdedup",             # NEW: within-IVF-cluster embedding dedup

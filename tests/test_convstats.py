@@ -156,3 +156,73 @@ def test_tool_chain_ngrams_skips_non_tool_turns(spark):
     assert out["fetch>fetch"]["rk"] == 2
     assert out["search>fetch"]["share"] == round(2 / 3, 6)
     assert len(out) == 2  # no None/empty-tool bigrams anywhere
+
+
+def test_tool_loops_runs_and_tiebreak(spark):
+    """Runs are maximal same-tool stretches over the FILTERED tool stream
+    (non-tool turns don't break a run); longest-run ties go to the
+    earliest run."""
+    import pyspark.sql.functions as F
+
+    from uncharted_ta1_pipeline_spark.operators.convstats import tool_loops
+
+    rows = [
+        # c1: search search | fetch | search search -> runs 2,1,2; tie -> search(run1)
+        ("c1", 0, "2024-01-01 00:00:00", "search"),
+        ("c1", 1, "2024-01-01 00:01:00", None),  # does not break the run
+        ("c1", 2, "2024-01-01 00:02:00", "search"),
+        ("c1", 3, "2024-01-01 00:03:00", "fetch"),
+        ("c1", 4, "2024-01-01 00:04:00", "search"),
+        ("c1", 5, "2024-01-01 00:05:00", "search"),
+        # c2: bash x3 + read -> loop_share = 3/4
+        ("c2", 0, "2024-01-01 00:00:00", "bash"),
+        ("c2", 1, "2024-01-01 00:01:00", "bash"),
+        ("c2", 2, "2024-01-01 00:02:00", "bash"),
+        ("c2", 3, "2024-01-01 00:03:00", "read"),
+        # c3: no tool turns -> excluded
+        ("c3", 0, "2024-01-01 00:00:00", ""),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, ts string, tool string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {r["conv_id"]: r.asDict() for r in tool_loops(df).collect()}
+    assert set(out) == {"c1", "c2"}
+    c1 = out["c1"]
+    assert (c1["n_tool_turns"], c1["n_runs"]) == (5, 3)
+    assert (c1["max_run_len"], c1["max_run_tool"]) == (2, "search")
+    assert c1["loop_share"] == 0.0
+    c2 = out["c2"]
+    assert (c2["n_tool_turns"], c2["n_runs"]) == (4, 2)
+    assert (c2["max_run_len"], c2["max_run_tool"]) == (3, "bash")
+    assert c2["loop_share"] == 0.75
+
+
+def test_assistant_latency_adjacent_pairs_only(spark):
+    """Only immediate user->assistant adjacencies count; an intervening
+    tool turn breaks the pair."""
+    import pyspark.sql.functions as F
+
+    from uncharted_ta1_pipeline_spark.operators.convstats import (
+        assistant_latency,
+    )
+
+    rows = [
+        ("c1", 0, "2024-01-01 00:00:00", "user"),
+        ("c1", 1, "2024-01-01 00:00:02", "assistant"),   # 2 s
+        ("c1", 2, "2024-01-01 00:00:10", "user"),
+        ("c1", 3, "2024-01-01 00:00:11", "tool"),        # breaks adjacency
+        ("c1", 4, "2024-01-01 00:00:20", "assistant"),
+        ("c1", 5, "2024-01-01 00:01:00", "user"),
+        ("c1", 6, "2024-01-01 00:01:06", "assistant"),   # 6 s
+        ("c2", 0, "2024-01-01 00:00:00", "assistant"),   # no pair -> excluded
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, ts string, role string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {r["conv_id"]: r.asDict() for r in assistant_latency(df).collect()}
+    assert set(out) == {"c1"}
+    c1 = out["c1"]
+    assert c1["n_responses"] == 2
+    assert c1["mean_latency_s"] == 4.0
+    assert c1["p50_latency_s"] == 4.0
+    assert c1["max_latency_s"] == 6.0

@@ -176,3 +176,30 @@ def test_dedup_recall_floors(spark):
     # truth set shrinks (weakly) as the threshold rises
     assert (r["n_hit"] <= r["n_truth"]).all() and (r["n_hit"] <= r["n_cand"]).all()
     assert r["n_truth"].is_monotonic_decreasing
+
+
+def test_conv_digest_dedup_order_sensitive(spark):
+    """Identical ordered (role, text) streams are duplicates; the same
+    turns in a different order are NOT; smallest conv_id is canonical."""
+    import pyspark.sql.functions as F
+
+    from uncharted_ta1_pipeline_spark.operators.dedup import conv_digest_dedup
+
+    rows = [
+        ("a", 0, "2024-01-01 00:00:00", "user", "hi"),
+        ("a", 1, "2024-01-01 00:01:00", "assistant", "hello"),
+        ("b", 0, "2024-01-01 05:00:00", "user", "hi"),        # dup of a
+        ("b", 1, "2024-01-01 05:01:00", "assistant", "hello"),
+        ("c", 0, "2024-01-01 00:00:00", "assistant", "hello"),  # reordered
+        ("c", 1, "2024-01-01 00:01:00", "user", "hi"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, ts string, role string, text string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {r["conv_id"]: r.asDict() for r in conv_digest_dedup(df).collect()}
+    assert out["a"]["is_dup"] == 0 and out["a"]["canonical_conv_id"] == "a"
+    assert out["b"]["is_dup"] == 1 and out["b"]["canonical_conv_id"] == "a"
+    assert out["b"]["conv_digest"] == out["a"]["conv_digest"]
+    assert out["c"]["is_dup"] == 0
+    assert out["c"]["conv_digest"] != out["a"]["conv_digest"]
+    assert all(r["n_turns"] == 2 for r in out.values())

@@ -127,3 +127,36 @@ def test_temporal_split_embargo_rows_excluded_from_both(spark):
     # (cutoff, cutoff + 3600] -> embargo; the 7200s row is test
     assert out[5] == "embargo"
     assert out[6] == "test"
+
+
+def test_per_group_sample_cap_and_group_stability(spark):
+    """Each group keeps exactly min(k, |group|) rows; membership within a
+    group is unchanged when OTHER groups are added (hash is a pure
+    function of (salt, group, key))."""
+    from uncharted_ta1_pipeline_spark.operators.sampling import (
+        per_group_sample,
+    )
+
+    base = spark.createDataFrame(
+        [("g1", i) for i in range(20)] + [("g2", i) for i in range(3)],
+        "conv_id string, turn_idx int",
+    )
+    out = per_group_sample(base, k=5).collect()
+    by_g = {}
+    for r in out:
+        by_g.setdefault(r["conv_id"], []).append((r["samp_rank"], r["turn_idx"]))
+    assert len(by_g["g1"]) == 5
+    assert sorted(r for r, _ in by_g["g1"]) == [1, 2, 3, 4, 5]
+    assert len(by_g["g2"]) == 3  # groups smaller than k keep everything
+
+    more = base.union(
+        spark.createDataFrame(
+            [("g3", i) for i in range(10)], "conv_id string, turn_idx int"
+        )
+    )
+    out2 = {
+        (r["conv_id"], r["turn_idx"]): r["samp_rank"]
+        for r in per_group_sample(more, k=5).collect()
+        if r["conv_id"] == "g1"
+    }
+    assert out2 == {("g1", t): rk for rk, t in by_g["g1"]}

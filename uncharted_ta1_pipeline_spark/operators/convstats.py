@@ -218,6 +218,133 @@ def winsorize_signal(df: DataFrame, fence_k: float = 1.5) -> DataFrame:
     )
 
 
+def tool_loops(df: DataFrame, loop_min: int = 3) -> DataFrame:
+    """Per-conversation same-tool run features — the loop detector the
+    tool-transition census (`tool_chain_ngrams`) exists to feed: an agent
+    stuck calling the same tool repeatedly is the classic curation reject.
+
+    Over each conversation's stream of CONSECUTIVE tool invocations
+    (non-tool turns skipped, same stream as tool_chain_ngrams), maximal
+    runs of the same tool are found by the gaps-and-islands pattern
+    (lag -> break flag -> running sum; same construction as
+    runs.best_monotone_run).  Output per conversation with ≥1 tool turn:
+    n_tool_turns, n_runs, max_run_len, max_run_tool (longest run's tool,
+    ties -> earliest run), loop_share = fraction of tool turns inside
+    runs of length ≥ ``loop_min``, rounded(6).
+
+    Scale: one lag window + one running-sum window, both on the conv_id
+    partitioning every per-conversation op shares; the two groupBys
+    reduce on (conv_id, run) then conv_id with map-side combine, so
+    nothing is quadratic in conversation length and the only shuffle key
+    is conv_id throughout (AQE coalesces the chain into one exchange).
+    Reference analog re-expressed: greedy monotone coordinate grouping,
+    keep-the-largest-group, /root/reference/tasks/geo_referencing/
+    coordinates_extractor.py:621-688.
+    """
+    w = Window.partitionBy("conv_id").orderBy(*_ORD)
+    incl = w.rowsBetween(Window.unboundedPreceding, 0)
+    t = df.filter(F.col("tool").isNotNull() & (F.col("tool") != "")).select(
+        "conv_id", "ts", "turn_idx", "tool"
+    )
+    prev = F.lag("tool").over(w)
+    runs = (
+        t.withColumn(
+            "_brk", (prev.isNull() | (F.col("tool") != prev)).cast("long")
+        )
+        .withColumn("_run", F.sum("_brk").over(incl))
+        .groupBy("conv_id", "_run")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("run_len"),
+            F.first("tool").alias("tool"),
+        )
+    )
+    # min over struct(-run_len, run_id) == (run_len DESC, run_id ASC)
+    best = F.min(
+        F.struct(
+            (-F.col("run_len")).alias("nl"),
+            F.col("_run").alias("r"),
+            F.col("tool").alias("t"),
+        )
+    )
+    return (
+        runs.groupBy("conv_id")
+        .agg(
+            F.sum("run_len").cast("long").alias("n_tool_turns"),
+            F.count(F.lit(1)).cast("long").alias("n_runs"),
+            best.alias("_best"),
+            F.sum(
+                F.when(F.col("run_len") >= loop_min, F.col("run_len")).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("long")
+            .alias("_loop_turns"),
+        )
+        .select(
+            "conv_id",
+            "n_tool_turns",
+            "n_runs",
+            (-F.col("_best.nl")).cast("long").alias("max_run_len"),
+            F.col("_best.t").alias("max_run_tool"),
+            F.round(
+                F.col("_loop_turns").cast("double") / F.col("n_tool_turns"), 6
+            ).alias("loop_share"),
+        )
+    )
+
+
+def assistant_latency(df: DataFrame) -> DataFrame:
+    """Per-conversation assistant response-latency profile: over pairs of
+    CONSECUTIVE turns where a user turn is immediately followed by an
+    assistant turn, the latency distribution — the responsiveness feature
+    a quality/engagement model consumes alongside gap_quantile_features'
+    all-pairs burstiness.
+
+    Output per conversation with ≥1 user->assistant adjacency:
+    n_responses, mean_latency_s, p50_latency_s, max_latency_s (seconds,
+    round(6)).
+
+    Exactness contract (inherited from gap_quantile_features verbatim):
+    latencies stay INTEGER microseconds through the aggregate — the
+    h=(n-1)p percentile interpolation at p=.5 over int64 is exact in
+    double in both engines, mean is one int64-sum / int64-count IEEE
+    division (identical in both), and each statistic is rounded to a
+    WHOLE microsecond before the single /1e6 + round(6).
+
+    Scale: one lag window on the conv_id partitioning, then a single
+    bounded groupBy; the percentile's value->count map quantizes with the
+    same unit-coarsening lever documented on gap_quantile_features.
+    Reference analog re-expressed: per-pair pixel/geo offset statistics of
+    /root/reference/tasks/geo_referencing/util.py:76-96, conditioned on
+    pair type.
+    """
+    w = Window.partitionBy("conv_id").orderBy(*_ORD)
+    g = (
+        df.withColumn("_us", F.unix_micros("ts"))
+        .withColumn("_prev_role", F.lag("role").over(w))
+        .withColumn("_prev_us", F.lag("_us").over(w))
+        .filter(
+            (F.col("_prev_role") == "user") & (F.col("role") == "assistant")
+        )
+        .select(
+            "conv_id",
+            (F.col("_us") - F.col("_prev_us")).cast("long").alias("lat_us"),
+        )
+    )
+
+    def _secs(cu):  # whole-µs round first; single /1e6 then round(6)
+        return F.round(F.round(cu, 0) / 1_000_000.0, 6)
+
+    return g.groupBy("conv_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_responses"),
+        _secs(
+            F.sum("lat_us").cast("double") / F.count(F.lit(1))
+        ).alias("mean_latency_s"),
+        _secs(F.expr("percentile(lat_us, 0.5)")).alias("p50_latency_s"),
+        _secs(F.max("lat_us").cast("double")).alias("max_latency_s"),
+    )
+
+
 def tool_chain_ngrams(df: DataFrame, top_k: int = 20) -> DataFrame:
     """Corpus-level tool-transition census: the top-k bigrams of
     CONSECUTIVE tool invocations (non-tool turns skipped) across all

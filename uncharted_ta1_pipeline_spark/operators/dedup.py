@@ -821,3 +821,62 @@ def span_dedup(
             ).alias("dup_span_share"),
         )
     )
+
+
+def conv_digest_dedup(transcripts: DataFrame) -> DataFrame:
+    """Conversation-level exact dedup: one md5 digest per conversation over
+    its turns in canonical (ts, turn_idx) order, then the same
+    smallest-id-survives rule as ``dedup_exact`` — the transcript analog of
+    document exact dedup (two sessions are duplicates iff every turn's
+    (role, text) matches in order).
+
+    Output per conversation: conv_id, n_turns, conv_digest,
+    canonical_conv_id (smallest conv_id sharing the digest), is_dup (1 if
+    conv_id != canonical).
+
+    Digest construction is engine-portable by the module contract (md5 hex
+    only): each turn serializes to ``role:text``, turns joined with the
+    0x1f unit separator after an ``array_sort`` over (us, turn_idx)-keyed
+    structs — array_sort on structs orders by fields left-to-right, which
+    is exactly the oracle's ``string_agg(... ORDER BY ts, turn_idx)``.
+
+    Scale: one groupBy(conv_id) with map-side combine builds the digests
+    (per-group state is the turn list — bounded by the same hot-
+    conversation threshold every per-conv op shares; a 10^8-turn outlier
+    routes through chunked pre-digesting like featurize_hybrid), then one
+    tiny groupBy(digest) for the survivor map, broadcast back.  No
+    corpus×corpus anything.
+    Reference analog re-expressed: content-digest task cache keys,
+    /root/reference/tasks/common/task.py:188-212.
+    """
+    per_turn = F.struct(
+        F.unix_micros("ts").alias("us"),
+        F.col("turn_idx").alias("ti"),
+        F.concat_ws(":", "role", "text").alias("s"),
+    )
+    digests = transcripts.groupBy("conv_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(per_turn)), lambda t: t["s"]
+                ),
+                "\x1f",
+            )
+        ).alias("conv_digest"),
+    )
+    canon = digests.groupBy("conv_digest").agg(
+        F.min("conv_id").alias("canonical_conv_id")
+    )
+    return (
+        digests.join(F.broadcast(canon), on="conv_digest")
+        .select(
+            "conv_id",
+            "n_turns",
+            "conv_digest",
+            "canonical_conv_id",
+            (F.col("conv_id") != F.col("canonical_conv_id"))
+            .cast("long")
+            .alias("is_dup"),
+        )
+    )

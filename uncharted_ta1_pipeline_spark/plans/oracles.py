@@ -497,3 +497,113 @@ r AS (
 )
 SELECT bigram, n_occurrences, n_convs, share, rk FROM r WHERE rk <= 20
 """
+
+
+# same-tool run census twin: gaps-and-islands in two window levels (DuckDB
+# disallows nesting the lag inside the cumsum), QUALIFY for the best run
+ORACLES["tool_loops"] = f"""
+{_T},
+t AS (
+  SELECT conv_id, ts, turn_idx, tool FROM transcripts
+  WHERE tool IS NOT NULL AND tool <> ''
+),
+flagged AS (
+  SELECT conv_id, ts, turn_idx, tool,
+         CASE WHEN lag(tool) OVER ({_ORD}) IS NULL
+                OR tool <> lag(tool) OVER ({_ORD})
+              THEN 1 ELSE 0 END AS brk
+  FROM t
+),
+runs_raw AS (
+  SELECT conv_id, tool,
+         sum(brk) OVER ({_ORD} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS run
+  FROM flagged
+),
+runs AS (
+  SELECT conv_id, run, CAST(count(*) AS BIGINT) AS run_len, min(tool) AS tool
+  FROM runs_raw GROUP BY conv_id, run
+),
+best AS (
+  SELECT conv_id, run_len AS max_run_len, tool AS max_run_tool
+  FROM runs
+  QUALIFY row_number() OVER (PARTITION BY conv_id
+                             ORDER BY run_len DESC, run ASC) = 1
+),
+agg AS (
+  SELECT conv_id,
+         CAST(sum(run_len) AS BIGINT) AS n_tool_turns,
+         CAST(count(*) AS BIGINT) AS n_runs,
+         CAST(sum(CASE WHEN run_len >= 3 THEN run_len ELSE 0 END) AS BIGINT)
+           AS loop_turns
+  FROM runs GROUP BY conv_id
+)
+SELECT a.conv_id, a.n_tool_turns, a.n_runs, b.max_run_len, b.max_run_tool,
+       round(a.loop_turns * 1.0 / a.n_tool_turns, 6) AS loop_share
+FROM agg a JOIN best b ON a.conv_id = b.conv_id
+"""
+
+
+# user->assistant adjacency latency twin: integer-µs statistics, whole-µs
+# round before the single /1e6 (the gap_quantiles exactness contract)
+ORACLES["assistant_latency"] = f"""
+{_T},
+g AS (
+  SELECT conv_id,
+         role, lag(role) OVER ({_ORD}) AS prev_role,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER ({_ORD}) AS lat_us
+  FROM transcripts
+)
+SELECT conv_id,
+       CAST(count(*) AS BIGINT) AS n_responses,
+       round(round(CAST(sum(lat_us) AS DOUBLE) / count(*), 0) / 1000000.0, 6)
+         AS mean_latency_s,
+       round(round(quantile_cont(lat_us, 0.5), 0) / 1000000.0, 6)
+         AS p50_latency_s,
+       round(round(CAST(max(lat_us) AS DOUBLE), 0) / 1000000.0, 6)
+         AS max_latency_s
+FROM g
+WHERE prev_role = 'user' AND role = 'assistant'
+GROUP BY conv_id
+"""
+
+
+# conversation digest dedup twin: string_agg ORDER BY == array_sort on
+# (us, turn_idx) structs; chr(31) unit separator; md5 hex on both engines
+ORACLES["conv_digest_dedup"] = f"""
+{_T},
+d AS (
+  SELECT conv_id,
+         CAST(count(*) AS BIGINT) AS n_turns,
+         md5(string_agg(role || ':' || text, chr(31) ORDER BY ts, turn_idx))
+           AS conv_digest
+  FROM transcripts GROUP BY conv_id
+),
+c AS (
+  SELECT conv_digest, min(conv_id) AS canonical_conv_id
+  FROM d GROUP BY conv_digest
+)
+SELECT d.conv_id, d.n_turns, d.conv_digest, c.canonical_conv_id,
+       CAST(CASE WHEN d.conv_id <> c.canonical_conv_id THEN 1 ELSE 0 END
+            AS BIGINT) AS is_dup
+FROM d JOIN c ON d.conv_digest = c.conv_digest
+"""
+
+
+# per-group seeded-hash cap twin
+ORACLES["per_group_sample"] = f"""
+{_T},
+h AS (
+  SELECT conv_id, turn_idx,
+         md5('pgs-v1' || '|' || conv_id || '|' || CAST(turn_idx AS VARCHAR))
+           AS hh
+  FROM transcripts
+),
+r AS (
+  SELECT conv_id, turn_idx,
+         CAST(row_number() OVER (PARTITION BY conv_id ORDER BY hh, turn_idx)
+              AS BIGINT) AS samp_rank
+  FROM h
+)
+SELECT conv_id, turn_idx, samp_rank FROM r WHERE samp_rank <= 5
+"""

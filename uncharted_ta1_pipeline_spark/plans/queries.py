@@ -344,3 +344,48 @@ def q_tool_chain_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["tool_chain_ngrams"] = q_tool_chain_ngrams
+
+
+def q_tool_loops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation same-tool run features (operators/convstats.py)."""
+    from uncharted_ta1_pipeline_spark.operators.convstats import tool_loops
+
+    return tool_loops(load_transcripts(spark, sf_dir))
+
+
+QUERIES["tool_loops"] = q_tool_loops
+
+
+def q_assistant_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation user->assistant response-latency profile
+    (operators/convstats.py)."""
+    from uncharted_ta1_pipeline_spark.operators.convstats import (
+        assistant_latency,
+    )
+
+    return assistant_latency(load_transcripts(spark, sf_dir))
+
+
+QUERIES["assistant_latency"] = q_assistant_latency
+
+
+def q_conv_digest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-level exact dedup by ordered turn digest
+    (operators/dedup.py)."""
+    from uncharted_ta1_pipeline_spark.operators.dedup import conv_digest_dedup
+
+    return conv_digest_dedup(load_transcripts(spark, sf_dir))
+
+
+QUERIES["conv_digest_dedup"] = q_conv_digest_dedup
+
+
+def q_per_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-conversation k-turn cap by seeded hash order
+    (operators/sampling.py)."""
+    from uncharted_ta1_pipeline_spark.operators.sampling import per_group_sample
+
+    return per_group_sample(load_transcripts(spark, sf_dir), k=5)
+
+
+QUERIES["per_group_sample"] = q_per_group_sample
