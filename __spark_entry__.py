@@ -63,6 +63,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # exact-comparison harness.
 _PRIORITY = [
     # tier 1 — new or changed this round (r5)
+    "context_window",       # NEW: strictly-past token-budget context assembly
+    "session_carryover",    # NEW: per-session returning-user carryover
+    "tool_latency",         # NEW: per-tool next-gap latency census
+    "turn_novelty",         # NEW: per-turn bigram novelty vs past turns
+    "first_message_templates",  # NEW: first-user-message template census
     "tool_loops",           # NEW: per-conv same-tool run / loop detector
     "assistant_latency",    # NEW: user->assistant response-latency profile
     "conv_digest_dedup",    # NEW: conversation-level ordered-digest dedup

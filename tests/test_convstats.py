@@ -226,3 +226,57 @@ def test_assistant_latency_adjacent_pairs_only(spark):
     assert c1["mean_latency_s"] == 4.0
     assert c1["p50_latency_s"] == 4.0
     assert c1["max_latency_s"] == 6.0
+
+
+def test_session_carryover_gap_and_cumulative(spark):
+    from uncharted_ta1_pipeline_spark.operators.sessionize import (
+        session_carryover,
+    )
+
+    # three sessions: turns at 0/10s, 3600s, 9000/9010s (gap threshold 1800s)
+    rows = [
+        ("c1", 0, "user", _ts(0)),
+        ("c1", 1, "assistant", _ts(10)),
+        ("c1", 2, "user", _ts(3600)),
+        ("c1", 3, "user", _ts(9000)),
+        ("c1", 4, "assistant", _ts(9010)),
+    ]
+    df = _t(spark, rows).withColumn("tool", F.lit(None).cast("string"))
+    out = {r.session_id: r for r in session_carryover(df).collect()}
+    assert set(out) == {0, 1, 2}
+    s0, s1, s2 = out[0], out[1], out[2]
+    assert s0.n_turns == 2 and s0.gap_since_prev_s is None
+    assert s0.prev_session_turns is None and s0.turns_before == 0
+    assert s1.n_turns == 1 and s1.gap_since_prev_s == 3590.0
+    assert s1.prev_session_turns == 2 and s1.turns_before == 2
+    assert s2.n_turns == 2 and s2.gap_since_prev_s == 5400.0
+    assert s2.prev_session_turns == 1 and s2.turns_before == 3
+
+
+def test_tool_latency_excludes_last_turn_and_groups_by_tool(spark):
+    from uncharted_ta1_pipeline_spark.operators.convstats import tool_latency
+
+    rows = [
+        ("c1", 0, "tool", _ts(0)),    # bash, next at +5s
+        ("c1", 1, "tool", _ts(5)),    # bash, next at +15s
+        ("c1", 2, "user", _ts(20)),   # not a tool turn
+        ("c1", 3, "tool", _ts(30)),   # search, LAST turn -> excluded
+        ("c2", 0, "tool", _ts(0)),    # search, next at +7s
+        ("c2", 1, "user", _ts(7)),
+    ]
+    df = _t(spark, rows).withColumn(
+        "tool",
+        F.when(F.col("role") != "tool", F.lit(None).cast("string")).otherwise(
+            F.when(
+                (F.col("conv_id") == "c1") & (F.col("turn_idx") < 2), "bash"
+            ).otherwise("search")
+        ),
+    )
+    out = {r.tool: r for r in tool_latency(df).collect()}
+    assert set(out) == {"bash", "search"}
+    assert out["bash"].n_calls == 2
+    assert out["bash"].mean_next_gap_s == 10.0
+    assert out["bash"].p50_next_gap_s == 10.0
+    assert out["bash"].max_next_gap_s == 15.0
+    assert out["search"].n_calls == 1  # c1's last turn contributed nothing
+    assert out["search"].mean_next_gap_s == 7.0

@@ -395,3 +395,169 @@ def tool_chain_ngrams(df: DataFrame, top_k: int = 20) -> DataFrame:
         .filter(F.col("rk") <= top_k)
         .select("bigram", "n_occurrences", "n_convs", "share", "rk")
     )
+
+
+def turn_novelty(df: DataFrame) -> DataFrame:
+    """Per-turn word-bigram novelty vs the conversation's strictly-past
+    turns — the self-repetition signal a curation pass uses to down-weight
+    turns that merely restate earlier content (the within-conversation
+    analog of the corpus-level `repetition` Gopher signals in
+    functions/docf.py).
+
+    A turn's DISTINCT word bigrams (split on single space, empty tokens
+    dropped — the docf tokenization convention; pairs built by zipping two
+    slices, the lm_score pattern) are marked novel iff their first
+    occurrence in the conversation is this turn.  Because ``turn_idx`` IS
+    the stable (ts, turn_idx) order position (sources/transcripts.py), the
+    first occurrence is ``min(turn_idx)`` per (conv_id, bigram) — a turn
+    never competes with itself, so "first occurrence here" == "absent from
+    all strictly-past turns" (zero temporal leakage by construction).
+
+    Output per turn with >= 1 bigram: conv_id, turn_idx, n_bigrams
+    (distinct), n_novel, novelty_share (round 6).
+
+    Scale: one explode of per-turn distinct bigrams (no self-join), one
+    window min over (conv_id, bigram) — conversation-local keys, so the
+    shuffle is conv-sized, never corpus-sized — then a map-side-combined
+    groupBy back to (conv_id, turn_idx).  Hot-conversation skew is bounded
+    by the per-turn distinct-bigram count, not conversation length.
+    Reference analog re-expressed: duplicate-keypoint suppression keyed on
+    first extraction, /root/reference/tasks/geo_referencing/
+    coordinates_extractor.py:186-204 with the overlap dedup of
+    tasks/point_extraction/tiling.py:277-413.
+    """
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    t = df.select("conv_id", "turn_idx", toks.alias("_toks"))
+    n = F.size("_toks")
+    lead = F.greatest(n - 1, F.lit(0))
+    pairs = F.zip_with(
+        F.slice("_toks", 1, lead),
+        F.slice("_toks", 2, lead),
+        lambda x, y: F.concat(x, F.lit(" "), y),
+    )
+    bg = t.select(
+        "conv_id",
+        "turn_idx",
+        F.explode(F.array_distinct(pairs)).alias("bigram"),
+    )
+    wfirst = Window.partitionBy("conv_id", "bigram")
+    flagged = bg.withColumn("_first", F.min("turn_idx").over(wfirst))
+    return (
+        flagged.groupBy("conv_id", "turn_idx")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum((F.col("_first") == F.col("turn_idx")).cast("long"))
+            .cast("long")
+            .alias("n_novel"),
+        )
+        .select(
+            "conv_id",
+            "turn_idx",
+            "n_bigrams",
+            "n_novel",
+            F.round(
+                F.col("n_novel").cast("double") / F.col("n_bigrams"), 6
+            ).alias("novelty_share"),
+        )
+    )
+
+
+def first_message_templates(df: DataFrame, top_k: int = 20) -> DataFrame:
+    """Corpus-level template census over each conversation's FIRST user
+    turn: normalize (lowercase, digit runs -> '#'), count conversations per
+    template, top-k with ties — the boilerplate/template detector a
+    curation pass runs to find scripted or duplicated conversation openers
+    (the conversation-level cousin of line_dedup's boilerplate removal).
+
+    Output: template, n_convs, share (of conversations that have a user
+    turn), rk (rank() — ties share a rank), example_conv_id (smallest
+    conv_id bearing the template, the canonical exemplar).
+
+    Scale: the first-user-turn extraction is one window row_number on the
+    canonical conv_id partitioning; the census groupBy is bounded by the
+    template vocabulary (tiny vs corpus), so the global share/rank window
+    orders a bounded histogram — the approved global-window shape
+    (curriculum/eval_deciles/tool_chain_ngrams).  Reference analog
+    re-expressed: per-source keypoint histograms + canonical-exemplar
+    dedup rank, /root/reference/tasks/geo_referencing/
+    coordinates_extractor.py:186-204.
+    """
+    w = Window.partitionBy("conv_id").orderBy(*_ORD)
+    fm = (
+        df.filter(F.col("role") == "user")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "conv_id",
+            F.regexp_replace(F.lower(F.col("text")), "[0-9]+", "#").alias(
+                "template"
+            ),
+        )
+    )
+    c = fm.groupBy("template").agg(
+        F.count(F.lit(1)).cast("long").alias("n_convs"),
+        F.min("conv_id").alias("example_conv_id"),
+    )
+    wg = Window.orderBy(F.col("n_convs").desc(), F.col("template").asc())
+    return (
+        c.withColumn(
+            "share",
+            F.round(
+                F.col("n_convs")
+                / F.sum("n_convs").over(Window.partitionBy(F.lit(1))),
+                6,
+            ),
+        )
+        .withColumn("rk", F.rank().over(wg).cast("long"))
+        .filter(F.col("rk") <= top_k)
+        .select("template", "n_convs", "share", "rk", "example_conv_id")
+    )
+
+
+def tool_latency(df: DataFrame) -> DataFrame:
+    """Corpus-level per-tool latency census: for every tool invocation that
+    has a following turn in the same conversation, the gap to that next
+    turn — the execution-latency proxy an agent-performance dashboard and
+    a tool-cost model consume (which tools stall conversations).
+
+    Output per tool: n_calls, mean_next_gap_s, p50_next_gap_s,
+    max_next_gap_s (seconds, round 6).  Conversations' last turns have no
+    next turn and are excluded.
+
+    Exactness contract (inherited from assistant_latency verbatim): gaps
+    stay INTEGER microseconds through the aggregate; mean is one
+    int64-sum / int64-count IEEE division; the p50 h=(n-1)p interpolation
+    over int64 is exact in double in both engines; every statistic rounds
+    to a WHOLE microsecond before the single /1e6 + round(6).
+
+    Scale: one lead window on the canonical conv_id partitioning, then a
+    groupBy on the BOUNDED tool vocabulary (map-side combined; the
+    percentile's per-tool value->count map carries the same unit-coarsening
+    quantization lever documented on gap_quantile_features).  Reference
+    analog re-expressed: per-source keypoint histograms + pair offset
+    statistics, /root/reference/tasks/geo_referencing/
+    coordinates_extractor.py:186-204, util.py:76-96.
+    """
+    w = Window.partitionBy("conv_id").orderBy(*_ORD)
+    us = F.unix_micros("ts")
+    g = (
+        df.withColumn("_gap", (F.lead(us).over(w) - us).cast("long"))
+        .filter(
+            F.col("tool").isNotNull()
+            & (F.col("tool") != "")
+            & F.col("_gap").isNotNull()
+        )
+        .select("tool", "_gap")
+    )
+
+    def _secs(cu):  # whole-µs round first; single /1e6 then round(6)
+        return F.round(F.round(cu, 0) / 1_000_000.0, 6)
+
+    return g.groupBy("tool").agg(
+        F.count(F.lit(1)).cast("long").alias("n_calls"),
+        _secs(F.sum("_gap").cast("double") / F.count(F.lit(1))).alias(
+            "mean_next_gap_s"
+        ),
+        _secs(F.expr("percentile(_gap, 0.5)")).alias("p50_next_gap_s"),
+        _secs(F.max("_gap").cast("double")).alias("max_next_gap_s"),
+    )

@@ -149,3 +149,54 @@ def session_stats(
         ).alias("n_tool_turns"),
         F.countDistinct("role").alias("n_roles"),
     )
+
+
+def session_carryover(
+    df: DataFrame, gap_s: int = DEFAULT_GAP_S, gap_us: int | None = None
+) -> DataFrame:
+    """Per-session returning-user carryover features: what a model serving
+    the FIRST turn of a session may know — all of it derived strictly from
+    EARLIER sessions (the zero-leakage contract lifted from turns to
+    sessions).
+
+    Output per (conv_id, session_id): n_turns (this session — a label, not
+    a feature), gap_since_prev_s (idle time between the previous session's
+    last turn and this session's first; NULL for session 0),
+    prev_session_turns (NULL for session 0), turns_before (total turns in
+    all earlier sessions).
+
+    Exactness: session boundaries and gaps are integer microseconds
+    (sessionize contract); the reported gap rounds the integer-µs
+    difference to a whole µs before the single /1e6 + round(6)
+    (the gap_quantiles discipline).
+
+    Scale: session_stats reduces the turn stream to one row per session
+    (map-side combined on (conv_id, session_id), conv-local keys); the
+    lag/cumsum windows then run over the SESSION stream — orders of
+    magnitude smaller than the turn stream, partitioned by the same
+    conv_id, so no new skew surface.  Reference analog re-expressed:
+    per-segment rank context from earlier segments,
+    /root/reference/tasks/segmentation/segmenter_utils.py:20-37 with the
+    adjacent-pairing of geo_referencing/coordinates_extractor.py:509-539.
+    """
+    s = session_stats(df, gap_s, gap_us)
+    w = Window.partitionBy("conv_id").orderBy("session_id")
+    prev_end = F.lag("end_us").over(w)
+    gap = F.round(
+        F.round((F.col("start_us") - prev_end).cast("double"), 0)
+        / 1_000_000.0,
+        6,
+    )
+    return s.select(
+        "conv_id",
+        "session_id",
+        "n_turns",
+        gap.alias("gap_since_prev_s"),
+        F.lag("n_turns").over(w).alias("prev_session_turns"),
+        F.coalesce(
+            F.sum("n_turns").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("turns_before"),
+    )

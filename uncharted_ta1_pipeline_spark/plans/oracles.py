@@ -607,3 +607,162 @@ r AS (
 )
 SELECT conv_id, turn_idx, samp_rank FROM r WHERE samp_rank <= 5
 """
+
+
+# context-window twin: bounded list() window frame (oldest->newest, same
+# order as Spark's collect_list over the ordered frame), higher-order
+# filter keeps the token-budget suffix; list() over an EMPTY frame is NULL
+# in DuckDB where Spark's collect_list is [] -> coalesce every derived
+# output.  md5-over-0x1F-joined texts = the conv_digest_dedup convention.
+ORACLES["context_window"] = f"""
+{_T},
+b AS (
+  SELECT conv_id, turn_idx, ts, text,
+         CAST(length(list_filter(string_split(text, ' '), w -> w <> ''))
+              AS BIGINT) AS tok
+  FROM transcripts
+),
+c AS (
+  SELECT conv_id, turn_idx, ts, text, tok,
+         CAST(sum(tok) OVER ({_ORD} ROWS BETWEEN UNBOUNDED PRECEDING AND
+                             CURRENT ROW) AS BIGINT) AS cum
+  FROM b
+),
+d AS (
+  SELECT conv_id, turn_idx, tok, cum,
+         list(struct_pack(cum := cum, tok := tok,
+                          ti := CAST(turn_idx AS BIGINT), txt := text))
+           OVER ({_ORD} ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING) AS arr
+  FROM c
+),
+e AS (
+  SELECT conv_id, turn_idx, tok,
+         list_filter(arr, s -> (cum - tok) - (s.cum - s.tok) <= 24) AS kept
+  FROM d
+)
+SELECT conv_id, turn_idx, tok AS turn_tokens,
+       CAST(coalesce(length(kept), 0) AS BIGINT) AS ctx_n_turns,
+       CAST(coalesce(list_aggregate(list_transform(kept, s -> s.tok), 'sum'),
+                     0) AS BIGINT) AS ctx_tokens,
+       list_transform(kept, s -> s.ti)[1] AS ctx_first_turn_idx,
+       md5(coalesce(array_to_string(list_transform(kept, s -> s.txt),
+                                    chr(31)), '')) AS ctx_digest
+FROM e
+"""
+
+
+# per-turn bigram novelty twin: distinct within-turn bigrams via
+# range-indexed slices, first occurrence = min(turn_idx) per (conv, bigram)
+ORACLES["turn_novelty"] = f"""
+{_T},
+t AS (
+  SELECT conv_id, turn_idx,
+         list_filter(string_split(text, ' '), w -> w <> '') AS toks
+  FROM transcripts
+),
+b AS (
+  SELECT conv_id, turn_idx,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(length(toks), 1)),
+           i -> toks[i] || ' ' || toks[i + 1]))) AS bigram
+  FROM t
+),
+f AS (
+  SELECT conv_id, turn_idx, bigram,
+         min(turn_idx) OVER (PARTITION BY conv_id, bigram) AS first_turn
+  FROM b
+)
+SELECT conv_id, turn_idx,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(CASE WHEN first_turn = turn_idx THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel,
+       round(sum(CASE WHEN first_turn = turn_idx THEN 1 ELSE 0 END) * 1.0
+             / count(*), 6) AS novelty_share
+FROM f
+GROUP BY conv_id, turn_idx
+"""
+
+
+# first-user-message template census twin
+ORACLES["first_message_templates"] = f"""
+{_T},
+fm AS (
+  SELECT conv_id,
+         regexp_replace(lower(text), '[0-9]+', '#', 'g') AS template
+  FROM (SELECT conv_id, text, row_number() OVER ({_ORD}) AS rn
+        FROM transcripts WHERE role = 'user')
+  WHERE rn = 1
+),
+c AS (
+  SELECT template, CAST(count(*) AS BIGINT) AS n_convs,
+         min(conv_id) AS example_conv_id
+  FROM fm GROUP BY template
+),
+r AS (
+  SELECT *,
+         round(n_convs * 1.0 / sum(n_convs) OVER (), 6) AS share,
+         CAST(rank() OVER (ORDER BY n_convs DESC, template) AS BIGINT) AS rk
+  FROM c
+)
+SELECT template, n_convs, share, rk, example_conv_id FROM r WHERE rk <= 20
+"""
+
+
+# session-carryover twin: the sessionize two-level CTE (flag, then cumsum),
+# reduced to one row per session, then lag/cumsum over the session stream
+ORACLES["session_carryover"] = f"""
+{_T},
+flagged AS (
+  SELECT conv_id, turn_idx, epoch_us(ts) AS us,
+         CASE WHEN lag(epoch_us(ts)) OVER ({_ORD}) IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER ({_ORD}) > 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM transcripts
+),
+st AS (
+  SELECT conv_id, us,
+         CAST(sum(is_new) OVER (PARTITION BY conv_id ORDER BY us, turn_idx
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND
+                                CURRENT ROW) - 1 AS BIGINT) AS session_id
+  FROM flagged
+),
+sess AS (
+  SELECT conv_id, session_id,
+         CAST(count(*) AS BIGINT) AS n_turns,
+         min(us) AS start_us, max(us) AS end_us
+  FROM st GROUP BY conv_id, session_id
+)
+SELECT conv_id, session_id, n_turns,
+       round(round(CAST(start_us - lag(end_us) OVER (PARTITION BY conv_id
+                        ORDER BY session_id) AS DOUBLE), 0) / 1000000.0, 6)
+         AS gap_since_prev_s,
+       lag(n_turns) OVER (PARTITION BY conv_id ORDER BY session_id)
+         AS prev_session_turns,
+       CAST(coalesce(sum(n_turns) OVER (PARTITION BY conv_id
+                     ORDER BY session_id ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND 1 PRECEDING), 0) AS BIGINT) AS turns_before
+FROM sess
+"""
+
+
+# per-tool latency census twin: integer-µs statistics, whole-µs round
+# before the single /1e6 (the assistant_latency exactness contract)
+ORACLES["tool_latency"] = f"""
+{_T},
+g AS (
+  SELECT tool,
+         lead(epoch_us(ts)) OVER ({_ORD}) - epoch_us(ts) AS gap_us
+  FROM transcripts
+)
+SELECT tool,
+       CAST(count(*) AS BIGINT) AS n_calls,
+       round(round(CAST(sum(gap_us) AS DOUBLE) / count(*), 0) / 1000000.0, 6)
+         AS mean_next_gap_s,
+       round(round(quantile_cont(gap_us, 0.5), 0) / 1000000.0, 6)
+         AS p50_next_gap_s,
+       round(round(CAST(max(gap_us) AS DOUBLE), 0) / 1000000.0, 6)
+         AS max_next_gap_s
+FROM g
+WHERE tool IS NOT NULL AND tool <> '' AND gap_us IS NOT NULL
+GROUP BY tool
+"""

@@ -389,3 +389,59 @@ def q_per_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["per_group_sample"] = q_per_group_sample
+
+def q_context_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-turn strictly-past training context under a token budget
+    (operators/context.py) — bounded-frame window, no joins."""
+    from uncharted_ta1_pipeline_spark.operators.context import context_window
+
+    return context_window(load_transcripts(spark, sf_dir))
+
+
+QUERIES["context_window"] = q_context_window
+
+
+def q_turn_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-turn word-bigram novelty vs strictly-past turns
+    (operators/convstats.py)."""
+    from uncharted_ta1_pipeline_spark.operators.convstats import turn_novelty
+
+    return turn_novelty(load_transcripts(spark, sf_dir))
+
+
+QUERIES["turn_novelty"] = q_turn_novelty
+
+
+def q_first_message_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Census of normalized first-user-message templates, top-k with ties
+    (operators/convstats.py)."""
+    from uncharted_ta1_pipeline_spark.operators.convstats import (
+        first_message_templates,
+    )
+
+    return first_message_templates(load_transcripts(spark, sf_dir))
+
+
+QUERIES["first_message_templates"] = q_first_message_templates
+
+def q_session_carryover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-session returning-user carryover features derived strictly from
+    earlier sessions (operators/sessionize.py)."""
+    from uncharted_ta1_pipeline_spark.operators.sessionize import (
+        session_carryover,
+    )
+
+    return session_carryover(load_transcripts(spark, sf_dir))
+
+
+QUERIES["session_carryover"] = q_session_carryover
+
+
+def q_tool_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tool next-turn-gap latency census (operators/convstats.py)."""
+    from uncharted_ta1_pipeline_spark.operators.convstats import tool_latency
+
+    return tool_latency(load_transcripts(spark, sf_dir))
+
+
+QUERIES["tool_latency"] = q_tool_latency
