@@ -63,6 +63,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # exact-comparison harness.
 _PRIORITY = [
     # tier 1 — new or changed this round (r5)
+    "conv_outcome",         # NEW: terminal-state / abandonment features
     "context_window",       # NEW: strictly-past token-budget context assembly
     "session_carryover",    # NEW: per-session returning-user carryover
     "tool_latency",         # NEW: per-tool next-gap latency census

@@ -280,3 +280,35 @@ def test_tool_latency_excludes_last_turn_and_groups_by_tool(spark):
     assert out["bash"].max_next_gap_s == 15.0
     assert out["search"].n_calls == 1  # c1's last turn contributed nothing
     assert out["search"].mean_next_gap_s == 7.0
+
+
+def test_conv_outcome_trailing_run_and_idle_tail(spark):
+    from uncharted_ta1_pipeline_spark.operators.convstats import conv_outcome
+
+    # c1 ends on two trailing user turns (abandoned); c2 ends answered by
+    # a tool turn; c3 is all-user (trailing run == n_turns, no last_tool).
+    rows = [
+        ("c1", 0, "user", _ts(0)),
+        ("c1", 1, "assistant", _ts(10)),
+        ("c1", 2, "user", _ts(20)),
+        ("c1", 3, "user", _ts(30)),
+        ("c2", 0, "user", _ts(0)),
+        ("c2", 1, "tool", _ts(40)),   # corpus max ts
+        ("c3", 0, "user", _ts(5)),
+    ]
+    df = _t(spark, rows).withColumn(
+        "tool",
+        F.when(F.col("role") == "tool", F.lit("bash")).otherwise(
+            F.lit(None).cast("string")
+        ),
+    )
+    out = {r.conv_id: r for r in conv_outcome(df).collect()}
+    c1, c2, c3 = out["c1"], out["c2"], out["c3"]
+    assert c1.n_turns == 4 and c1.last_role == "user"
+    assert c1.ends_unanswered == 1 and c1.n_trailing_user == 2
+    assert c1.last_tool is None
+    assert c1.idle_tail_s == 10.0  # corpus max (t=40) - c1 last (t=30)
+    assert c2.ends_unanswered == 0 and c2.n_trailing_user == 0
+    assert c2.last_tool == "bash" and c2.idle_tail_s == 0.0
+    assert c3.n_turns == 1 and c3.n_trailing_user == 1
+    assert c3.ends_unanswered == 1 and c3.idle_tail_s == 35.0

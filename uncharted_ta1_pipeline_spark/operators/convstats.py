@@ -345,6 +345,81 @@ def assistant_latency(df: DataFrame) -> DataFrame:
     )
 
 
+def conv_outcome(df: DataFrame) -> DataFrame:
+    """Per-conversation terminal-state features: how (and when) each
+    conversation ended — the abandonment/completion signal a curation pass
+    and an engagement model consume alongside the burstiness profile.
+
+    Output per conversation: n_turns, last_role, last_tool (tool of the
+    last tool-bearing turn, null if none), ends_unanswered (1 iff the
+    final turn is a user turn — the user was left hanging),
+    n_trailing_user (length of the trailing run of user turns; equals
+    n_turns when no non-user turn exists), idle_tail_s (seconds between
+    the conversation's last turn and the corpus' latest timestamp — the
+    "how stale is this thread" recency feature, round 6).
+
+    Exactness contract: positions come from row_number over the stable
+    (ts, turn_idx) order (unique, so max_by/arg_max ties are impossible);
+    idle_tail stays INTEGER microseconds until one IEEE /1e6 + round(6),
+    identical in both engines (the lag_lead secs_since_prev convention).
+
+    Scale: one row_number window on the canonical conv_id partitioning,
+    one map-side-combined groupBy on the same key (AQE coalesces the pair
+    into a single exchange), and one crossJoin against a broadcast
+    1-row corpus-max aggregate — the approved broadcast-scalar shape
+    (sampling.py domain_mix, docf.py oov_rate).  Nothing is quadratic in
+    conversation length and no whole-corpus window exists.
+    Reference analog re-expressed: terminal run-status classification
+    (CoordStatus OK / OUTSIDE_GEOFENCE and the unanswered-query fallback)
+    that the reference attaches to each extraction run,
+    /root/reference/tasks/geo_referencing/coordinates_extractor.py and
+    georeference.py's final status summarization.
+    """
+    w = Window.partitionBy("conv_id").orderBy(*_ORD)
+    t = (
+        df.withColumn("_us", F.unix_micros("ts"))
+        .withColumn("_rn", F.row_number().over(w))
+        .select("conv_id", "_us", "_rn", "role", "tool")
+    )
+    is_tool = F.col("tool").isNotNull() & (F.col("tool") != "")
+    per = t.groupBy("conv_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+        F.max_by("role", "_rn").alias("last_role"),
+        F.max("_us").alias("_last_us"),
+        F.max(F.when(F.col("role") != "user", F.col("_rn"))).alias(
+            "_last_nonuser"
+        ),
+        F.max(
+            F.when(
+                is_tool,
+                F.struct(F.col("_rn").alias("rn"), F.col("tool").alias("t")),
+            )
+        ).alias("_lt"),
+    )
+    corpus = df.agg(F.max(F.unix_micros("ts")).alias("_corpus_us"))
+    return (
+        per.crossJoin(F.broadcast(corpus))
+        .select(
+            "conv_id",
+            "n_turns",
+            "last_role",
+            F.col("_lt.t").alias("last_tool"),
+            (F.col("last_role") == "user").cast("long").alias(
+                "ends_unanswered"
+            ),
+            (
+                F.col("n_turns")
+                - F.coalesce(F.col("_last_nonuser"), F.lit(0))
+            )
+            .cast("long")
+            .alias("n_trailing_user"),
+            F.round(
+                (F.col("_corpus_us") - F.col("_last_us")) / 1_000_000.0, 6
+            ).alias("idle_tail_s"),
+        )
+    )
+
+
 def tool_chain_ngrams(df: DataFrame, top_k: int = 20) -> DataFrame:
     """Corpus-level tool-transition census: the top-k bigrams of
     CONSECUTIVE tool invocations (non-tool turns skipped) across all

@@ -766,3 +766,28 @@ FROM g
 WHERE tool IS NOT NULL AND tool <> '' AND gap_us IS NOT NULL
 GROUP BY tool
 """
+
+
+# terminal-state twin: unique row_number positions (arg_max ties
+# impossible); idle tail stays integer µs until one /1e6 + round(6)
+ORACLES["conv_outcome"] = f"""
+{_T},
+t AS (
+  SELECT conv_id, role, tool, epoch_us(ts) AS us,
+         row_number() OVER ({_ORD}) AS rn
+  FROM transcripts
+),
+corpus AS (SELECT max(epoch_us(ts)) AS corpus_us FROM transcripts)
+SELECT conv_id,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       max_by(role, rn) AS last_role,
+       max_by(tool, rn) FILTER (WHERE tool IS NOT NULL AND tool <> '')
+         AS last_tool,
+       CAST(CASE WHEN max_by(role, rn) = 'user' THEN 1 ELSE 0 END AS BIGINT)
+         AS ends_unanswered,
+       CAST(count(*) - coalesce(max(CASE WHEN role <> 'user' THEN rn END), 0)
+            AS BIGINT) AS n_trailing_user,
+       round((max(corpus_us) - max(us)) / 1000000.0, 6) AS idle_tail_s
+FROM t CROSS JOIN corpus
+GROUP BY conv_id
+"""

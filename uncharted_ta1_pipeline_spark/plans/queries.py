@@ -445,3 +445,15 @@ def q_tool_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["tool_latency"] = q_tool_latency
+
+
+def q_conv_outcome(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation terminal-state / abandonment features: last role,
+    last tool, unanswered-ending flag, trailing-user run length, idle tail
+    vs corpus end (operators/convstats.py)."""
+    from uncharted_ta1_pipeline_spark.operators.convstats import conv_outcome
+
+    return conv_outcome(load_transcripts(spark, sf_dir))
+
+
+QUERIES["conv_outcome"] = q_conv_outcome
