@@ -64,6 +64,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _PRIORITY = [
     # tier 1 — new or changed this round (r5)
     "conv_outcome",         # NEW: terminal-state / abandonment features
+    "echo_rate",            # NEW: assistant-parrots-user adjacent overlap
     "context_window",       # NEW: strictly-past token-budget context assembly
     "session_carryover",    # NEW: per-session returning-user carryover
     "tool_latency",         # NEW: per-tool next-gap latency census

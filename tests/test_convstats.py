@@ -312,3 +312,35 @@ def test_conv_outcome_trailing_run_and_idle_tail(spark):
     assert c2.last_tool == "bash" and c2.idle_tail_s == 0.0
     assert c3.n_turns == 1 and c3.n_trailing_user == 1
     assert c3.ends_unanswered == 1 and c3.idle_tail_s == 35.0
+
+
+def test_echo_rate_adjacent_user_assistant_only(spark):
+    from uncharted_ta1_pipeline_spark.operators.convstats import echo_rate
+
+    # turn1 echoes 'list the files' bigrams from turn0; turn3 follows a
+    # TOOL turn so it is not scored; turn4 follows a user turn but shares
+    # nothing.  Single-word assistant text has zero bigrams -> excluded.
+    rows = [
+        ("c1", 0, "user", _ts(0), "please list the files now"),
+        ("c1", 1, "assistant", _ts(1), "i will list the files"),
+        ("c1", 2, "tool", _ts(2), "ls -la output"),
+        ("c1", 3, "assistant", _ts(3), "list the files again"),
+        ("c2", 0, "user", _ts(0), "hello there friend"),
+        ("c2", 1, "assistant", _ts(1), "completely different reply"),
+        ("c3", 0, "user", _ts(0), "short question"),
+        ("c3", 1, "assistant", _ts(1), "ok"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, ts timestamp, text string",
+    )
+    out = {(r.conv_id, r.turn_idx): r for r in echo_rate(df).collect()}
+    # scored: only (c1,1) and (c2,1)
+    assert set(out) == {("c1", 1), ("c2", 1)}
+    r = out[("c1", 1)]
+    # bigrams: 'i will','will list','list the','the files' -> 4;
+    # echoed from turn0 ('please list','list the','the files','files now'):
+    # 'list the','the files' -> 2
+    assert r.n_bigrams == 4 and r.n_echoed == 2 and r.echo_share == 0.5
+    r2 = out[("c2", 1)]
+    assert r2.n_bigrams == 2 and r2.n_echoed == 0 and r2.echo_share == 0.0

@@ -537,6 +537,71 @@ def turn_novelty(df: DataFrame) -> DataFrame:
     )
 
 
+def echo_rate(df: DataFrame) -> DataFrame:
+    """Per assistant turn, the share of its distinct word bigrams that
+    already appeared in the IMMEDIATELY PRECEDING user turn — the
+    parroting/echo signal a curation pass uses to down-weight assistant
+    turns that merely restate the question (the adjacent-pair cousin of
+    `turn_novelty`, which scores against ALL strictly-past turns).
+
+    Only adjacencies where a user turn is immediately followed by an
+    assistant turn are scored (the assistant_latency pairing convention);
+    assistant turns with zero bigrams are excluded (no 0/0).  Output:
+    conv_id, turn_idx, n_bigrams (distinct, this turn), n_echoed
+    (intersection with the previous user turn's distinct bigrams),
+    echo_share (round 6 — one int/int IEEE division, identical in both
+    engines).
+
+    Tokenization is the docf convention (split on single space, empty
+    tokens dropped); bigrams are built by zipping two slices (the
+    turn_novelty/lm_score pattern) and deduplicated per turn, so the
+    intersection semantics are set-vs-set in both engines
+    (array_intersect / list_intersect both return distinct elements).
+
+    Scale: one lag window on the canonical conv_id partitioning carrying
+    the per-turn distinct-bigram ARRAY (bounded by turn length, never
+    conversation length) — no explode, no self-join, no whole-corpus
+    state.  Reference analog re-expressed: suppression of extractions
+    that duplicate the immediately preceding tile's keypoints,
+    /root/reference/tasks/point_extraction/tiling.py:277-413.
+    """
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    t = df.select("conv_id", "ts", "turn_idx", "role", toks.alias("_toks"))
+    n = F.size("_toks")
+    lead_n = F.greatest(n - 1, F.lit(0))
+    pairs = F.zip_with(
+        F.slice("_toks", 1, lead_n),
+        F.slice("_toks", 2, lead_n),
+        lambda x, y: F.concat(x, F.lit(" "), y),
+    )
+    t = t.select(
+        "conv_id",
+        "ts",
+        "turn_idx",
+        "role",
+        F.array_distinct(pairs).alias("_bg"),
+    )
+    w = Window.partitionBy("conv_id").orderBy(*_ORD)
+    p = (
+        t.withColumn("_prev_role", F.lag("role").over(w))
+        .withColumn("_prev_bg", F.lag("_bg").over(w))
+        .filter(
+            (F.col("role") == "assistant")
+            & (F.col("_prev_role") == "user")
+            & (F.size("_bg") >= 1)
+        )
+    )
+    n_bg = F.size("_bg").cast("long")
+    n_echo = F.size(F.array_intersect("_bg", "_prev_bg")).cast("long")
+    return p.select(
+        "conv_id",
+        "turn_idx",
+        n_bg.alias("n_bigrams"),
+        n_echo.alias("n_echoed"),
+        F.round(n_echo.cast("double") / n_bg, 6).alias("echo_share"),
+    )
+
+
 def first_message_templates(df: DataFrame, top_k: int = 20) -> DataFrame:
     """Corpus-level template census over each conversation's FIRST user
     turn: normalize (lowercase, digit runs -> '#'), count conversations per

@@ -791,3 +791,33 @@ SELECT conv_id,
 FROM t CROSS JOIN corpus
 GROUP BY conv_id
 """
+
+
+# echo-rate twin: distinct bigram sets via the turn_novelty slice pattern;
+# list_intersect/array_intersect are both set-semantics, so n_echoed agrees
+ORACLES["echo_rate"] = f"""
+{_T},
+t AS (
+  SELECT conv_id, turn_idx, role, ts,
+         list_distinct(list_transform(
+           range(1, greatest(length(toks), 1)),
+           i -> toks[i] || ' ' || toks[i + 1])) AS bigrams
+  FROM (SELECT conv_id, turn_idx, role, ts,
+               list_filter(string_split(text, ' '), w -> w <> '') AS toks
+        FROM transcripts)
+),
+p AS (
+  SELECT conv_id, turn_idx, role, bigrams,
+         lag(role)    OVER ({_ORD}) AS prev_role,
+         lag(bigrams) OVER ({_ORD}) AS prev_bigrams
+  FROM t
+)
+SELECT conv_id, turn_idx,
+       CAST(length(bigrams) AS BIGINT) AS n_bigrams,
+       CAST(length(list_intersect(bigrams, prev_bigrams)) AS BIGINT)
+         AS n_echoed,
+       round(length(list_intersect(bigrams, prev_bigrams)) * 1.0
+             / length(bigrams), 6) AS echo_share
+FROM p
+WHERE role = 'assistant' AND prev_role = 'user' AND length(bigrams) >= 1
+"""

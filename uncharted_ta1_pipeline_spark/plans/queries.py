@@ -457,3 +457,14 @@ def q_conv_outcome(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["conv_outcome"] = q_conv_outcome
+
+
+def q_echo_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per assistant turn, share of its distinct word bigrams echoed from
+    the immediately preceding user turn (operators/convstats.py)."""
+    from uncharted_ta1_pipeline_spark.operators.convstats import echo_rate
+
+    return echo_rate(load_transcripts(spark, sf_dir))
+
+
+QUERIES["echo_rate"] = q_echo_rate
