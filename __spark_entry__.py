@@ -56,40 +56,84 @@ def entry(spark: SparkSession) -> DataFrame:
 # rule: (1) operators added or rewritten this round first, (2) operators
 # whose last driver row is oldest next, (3) the rest, with the
 # freshest-green (r4 row AND pytest-covered) queries at the tail.
-# r5 head = the 19 queries new/changed this round, then every query whose
-# last green row is r03 (VERDICT r4 #5: nothing more than two rounds
-# stale) — fills the 50-row window (the last tier-2 names spill past the
-# cap); the r4-green queries rotate out and stay pytest-covered by the
-# exact-comparison harness.
+# r6 head = the 15 queries whose last green driver row is r3 (VERDICT r5
+# #1: the rotation promise caps staleness at two rounds — these must lead
+# the window), then the operators RESTRUCTURED by this optimization round
+# (plan rewrites proven oracle-equal; a fresh driver row is the evidence),
+# then the remaining r5 tier-1 set.  Tail past the 50-row cap stays
+# pytest-covered by the exact-comparison harness.
 _PRIORITY = [
-    # tier 1 — new or changed this round (r5)
-    "conv_outcome",         # NEW: terminal-state / abandonment features
-    "echo_rate",            # NEW: assistant-parrots-user adjacent overlap
-    "context_window",       # NEW: strictly-past token-budget context assembly
-    "session_carryover",    # NEW: per-session returning-user carryover
-    "tool_latency",         # NEW: per-tool next-gap latency census
-    "turn_novelty",         # NEW: per-turn bigram novelty vs past turns
-    "first_message_templates",  # NEW: first-user-message template census
-    "tool_loops",           # NEW: per-conv same-tool run / loop detector
-    "assistant_latency",    # NEW: user->assistant response-latency profile
-    "conv_digest_dedup",    # NEW: conversation-level ordered-digest dedup
-    "per_group_sample",     # NEW: seeded per-group k-row cap
-    "tool_chain_ngrams",    # NEW: corpus tool-transition bigram census
-    "winsorize",            # NEW: per-conv Tukey-fence signal winsorizing
-    "semdedup",             # NEW: within-IVF-cluster embedding dedup
-    "span_dedup",           # NEW: cross-doc repeated k-gram span share
-    "rolling_multi",        # NEW: 5/25/125 multi-horizon rolling features
-    "gap_quantiles",        # FIXED: integer-µs percentiles (r4's one red row)
-    "curation_funnel",      # NEW: end-to-end curation DAG survivor counts
-    "ann_recall",           # NEW: recall@10 of ann_lsh/ivf_topk vs exact
-    "dedup_recall",         # NEW: LSH pair recall/precision vs exact jaccard
-    "mad_outliers",         # rewritten: centi-quantized doubled-median
-    "median_mad",           # rewritten: bounded histogram grouped-agg
-    "asof_fit_predict_bucketed",  # rewritten: fused per-key-min state pass
-    "asof_fit_predict",     # stat_type flag added (plan unchanged)
-    "ann_lsh",              # retuned 5 planes x 8 tables (recall 0.02->0.40)
-    "ann_bucket_stats",     # occupancy under the retuned constants
-    # tier 2 — last driver row r03: rotate all of them in (VERDICT r4 #5)
+    # tier 0 — last driver row r03: retire the rotation debt (VERDICT r5 #1)
+    "ann_bruteforce",
+    "color_level",
+    "datum_shift",
+    "doc_fingerprint",
+    "embedding_cosine_pairs",
+    "finalize_left_join",
+    "geocode_enrich",
+    "geodesic_scale",
+    "lang_id",
+    "point_geocoder",
+    "quality_score",
+    "scoring_output",
+    "summary_output",
+    "text_with_segments",
+    "token_count",
+    # tier 1 — plans restructured this round (r6 optimization): identical
+    # results re-proven vs the unchanged oracles; lead the window so the
+    # driver re-certifies them
+    "span_dedup",           # one explode pass + df-window (was 2 passes)
+    "dedup_recall",         # full-outer + single aggregate (LSH runs once)
+    "ngram_jaccard_pairs",  # df-cap/sizes as windows (subtree 3x -> 1x)
+    "curation_funnel",      # one flagged pass (was one sub-plan per stage)
+    "semdedup",             # unrolled dots + single-agg Lloyd step
+    "ann_recall",           # union-tagged hits join (truth 3x -> 2x)
+    "ann_lsh",              # unrolled hyperplane signs
+    "ivf_assign",           # unrolled dots + single-agg Lloyd step
+    "ivf_topk",             # same codebook path
+    "ivf_cluster_stats",    # same codebook path
+    "asof_features_bucketed",  # single-agg bucket closes (stream 3x -> 2x)
+    "asof_fit_predict_bucketed",  # same + single-pass probes
+    "asof_fit_predict",     # single-pass probes
+    "asof_features",        # single-pass probes
+    "training_set",         # single-pass probes
+    "training_set_bucketed",  # single-pass probes + bucket closes
+    "minhash_signature",    # parallelized scan (docs corpus spread)
+    "minhash_lsh_pairs",
+    "simhash",
+    "simhash_pairs",
+    "contamination",
+    "line_dedup",
+    "lm_score",
+    "repetition",
+    "pii_mask",
+    "tfidf_top_terms",
+    "bm25_top_terms",
+    "oov_rate",
+    "url_filter",
+    "curriculum",
+    "dedup_exact",
+    "dedup_clusters",
+    "ann_bucket_stats",
+    "echo_rate",            # NULL-text hardening (ADVICE r5)
+    # tier 2 — r5 tier-1 queries, freshest green rows, rotate behind
+    "conv_outcome",
+    "context_window",
+    "session_carryover",
+    "tool_latency",
+    "turn_novelty",
+    "first_message_templates",
+    "tool_loops",
+    "assistant_latency",
+    "conv_digest_dedup",
+    "per_group_sample",
+    "tool_chain_ngrams",
+    "winsorize",
+    "rolling_multi",
+    "gap_quantiles",
+    "mad_outliers",
+    "median_mad",
+    # tier 3 — r4/r5-green, unchanged this round
     "ransac_slope",
     "corner_join",
     "corner_join_passthrough",
@@ -114,21 +158,6 @@ _PRIORITY = [
     "weighted_centroid",
     "topk_with_ties",
     "denoise_segments",
-    "text_with_segments",
-    "point_geocoder",
-    "geocode_enrich",
-    "finalize_left_join",
-    "datum_shift",
-    "geodesic_scale",
-    "color_level",
-    "scoring_output",
-    "summary_output",
-    "ann_bruteforce",
-    "embedding_cosine_pairs",
-    "lang_id",
-    "quality_score",
-    "token_count",
-    "doc_fingerprint",
 ]
 # tier 3 tail — green r04 driver row AND pytest-covered, unchanged this
 # round: safe to rotate out under the 50-row cap

@@ -404,12 +404,16 @@ def lm_score(df, text_col: str = "text"):
         F.count(F.lit(1)).alias("k")
     )
     c2 = doc_bg.groupBy("w1", "w2").agg(F.sum("k").alias("c2"))
-    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
     v = c2.agg(F.count_distinct("w2").alias("v"))
     # enrich the vocabulary²-sized dim with c1 BEFORE touching the big
     # per-doc stream: doc_bg is then shuffled exactly once, on (w1, w2) —
-    # joining c1 afterwards would reshuffle the whole stream again on w1
-    dim = c2.join(c1, on="w1")
+    # joining c1 afterwards would reshuffle the whole stream again on w1.
+    # c1 = sum of c2 over the prefix word as a WINDOW on the c2 table (one
+    # pass, vocabulary-bounded groups), not a groupBy + self-join — the
+    # join form re-evaluated the whole corpus->c2 chain a second time.
+    from pyspark.sql import Window
+
+    dim = c2.withColumn("c1", F.sum("c2").over(Window.partitionBy("w1")))
     scored = doc_bg.join(dim, on=["w1", "w2"]).crossJoin(F.broadcast(v))
     k = F.col("k")
     return scored.groupBy("doc_id").agg(

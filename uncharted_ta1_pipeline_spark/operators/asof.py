@@ -149,20 +149,25 @@ def asof_join_bucketed(
 
     # level 2: closing state per (key, bucket), carried into LATER buckets.
     # Every (key, bucket) present in the stream participates — including
-    # probe-only buckets, which would otherwise lose the carry.
-    all_buckets = unioned.select("_k", "_bkt").distinct()
-    closes = (
-        unioned.filter(F.col("_state").isNotNull())
-        .groupBy("_k", "_bkt")
-        .agg(F.max_by("_state", F.struct("_ts", "_tb")).alias("_close"))
-    )
+    # probe-only buckets, which would otherwise lose the carry.  ONE
+    # aggregation over the stream instead of the old distinct + filtered
+    # groupBy + re-join (which evaluated the whole tagged-union subtree —
+    # and every source scan under it — twice more): max_by with a
+    # NULL-ordering key for probe rows ignores them, so probe-only buckets
+    # come out with a NULL close exactly like the old left join produced.
     w_bkts = (
         Window.partitionBy("_k")
         .orderBy("_bkt")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     carry_prev = (
-        all_buckets.join(closes, on=["_k", "_bkt"], how="left")
+        unioned.groupBy("_k", "_bkt")
+        .agg(
+            F.max_by(
+                "_state",
+                F.when(F.col("_state").isNotNull(), F.struct("_ts", "_tb")),
+            ).alias("_close")
+        )
         .withColumn("_carry_prev", F.last("_close", ignorenulls=True).over(w_bkts))
         .select("_k", "_bkt", "_carry_prev")
     )

@@ -53,9 +53,19 @@ def context_window(
     Output: conv_id, turn_idx, turn_tokens, ctx_n_turns, ctx_tokens,
     ctx_first_turn_idx (oldest turn included; NULL when no context fits),
     ctx_digest (md5 of included texts joined oldest→newest with 0x1F).
+
+    NOTE (ADVICE r5): the ``budget_tokens=24`` / ``max_turns=8`` defaults
+    are frozen into the registered oracle SQL (8 PRECEDING, <= 24);
+    non-default calls bypass the driver parity gate and are pytest-only —
+    the denoise_segments convention.  Tokenization coalesces NULL text to
+    an empty array so the operator is source-agnostic (a NULL turn counts
+    0 tokens instead of poisoning the cumulative sum).
     """
     w = turn_order()
-    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    toks = F.coalesce(
+        F.filter(F.split(F.col("text"), " "), lambda t: t != ""),
+        F.array().cast("array<string>"),
+    )
     tok_n = F.size(toks).cast("long")
     base = df.select(
         "conv_id",

@@ -564,8 +564,17 @@ def echo_rate(df: DataFrame) -> DataFrame:
     state.  Reference analog re-expressed: suppression of extractions
     that duplicate the immediately preceding tile's keypoints,
     /root/reference/tasks/point_extraction/tiling.py:277-413.
+
+    NULL-text hardening (ADVICE r5): tokenization coalesces to an empty
+    array so a NULL previous turn yields n_echoed = 0 (the oracle's
+    greatest(len(NULL),1) path), not legacy size(NULL) = -1 — unreachable
+    with load_transcripts (text is concat-derived) but latent for other
+    sources such as synth_transcripts.
     """
-    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    toks = F.coalesce(
+        F.filter(F.split(F.col("text"), " "), lambda t: t != ""),
+        F.array().cast("array<string>"),
+    )
     t = df.select("conv_id", "ts", "turn_idx", "role", toks.alias("_toks"))
     n = F.size("_toks")
     lead_n = F.greatest(n - 1, F.lit(0))
@@ -621,6 +630,10 @@ def first_message_templates(df: DataFrame, top_k: int = 20) -> DataFrame:
     re-expressed: per-source keypoint histograms + canonical-exemplar
     dedup rank, /root/reference/tasks/geo_referencing/
     coordinates_extractor.py:186-204.
+
+    NOTE (ADVICE r5): the ``top_k=20`` default is frozen into the
+    registered oracle SQL; non-default calls bypass the driver parity gate
+    and are pytest-only — the denoise_segments convention.
     """
     w = Window.partitionBy("conv_id").orderBy(*_ORD)
     fm = (

@@ -23,12 +23,12 @@ funnel output is seven rows regardless of corpus size.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 
 from uncharted_ta1_pipeline_spark.functions.docf import quality_features
 from uncharted_ta1_pipeline_spark.operators.dedup import (
-    contamination,
-    dedup_exact,
+    _word_shingles,
+    benchmark_flag,
 )
 from uncharted_ta1_pipeline_spark.operators.sampling import hash_split
 
@@ -47,44 +47,108 @@ def curation_funnel(
     min-doc_id survivor) → decontam (non-benchmark docs whose rounded
     bigram overlap with the benchmark subset is < ``contam_threshold``;
     benchmark docs themselves are dropped) → split_train/val/test.
+
+    Physical shape (r6): ONE flagged pass instead of one sub-plan per
+    stage count.  The old form re-evaluated quality_features for every
+    stage and the whole quality→dedup chain again inside the
+    contamination branch (~15 scans of the corpus at sf1.0); here every
+    row carries stage-membership flags — ``_q`` (quality), ``_d``
+    (survivor: min q-pass doc_id over the md5(text) group, via one
+    window ≡ dedup_exact's groupBy), ``_c`` (decontaminated: the same
+    broadcast benchmark-shingle join contamination() runs, but only
+    once) — and one conditional aggregate emits all seven counts.  The
+    corpus subtree is evaluated 3x (flag pass + the two shingle
+    branches), down from ~15x; stage values are identical because the
+    flags replicate each operator's exact predicate (same md5 grouping,
+    same round(overlap, 6) < threshold test, same hash_split variate).
+    Split rows still appear only for non-empty splits, mirroring the
+    oracle's GROUP BY split.
     """
-    q = quality_features(docs).filter(F.col("quality_score") >= quality_min)
-    surv = dedup_exact(q).select(F.col("survivor_doc_id").alias("doc_id"))
-    d = q.join(surv, on="doc_id", how="inner")
-    keep = (
-        contamination(d, threshold=contam_threshold)
-        .filter(F.col("contaminated") == 0)
-        .select("doc_id")
+    flags = (
+        quality_features(docs)
+        .withColumn("_q", F.col("quality_score") >= quality_min)
+        .withColumn(
+            "_minq",
+            F.min(F.when(F.col("_q"), F.col("doc_id"))).over(
+                Window.partitionBy(F.md5(F.col("text")))
+            ),
+        )
+        .withColumn("_d", F.col("_q") & (F.col("doc_id") == F.col("_minq")))
     )
-    c = d.join(keep, on="doc_id", how="inner")
-    s = hash_split(c, key_col="doc_id", train=train, val=val, salt=salt)
-
-    def one(idx: int, name: str, df: DataFrame) -> DataFrame:
-        return df.agg(F.count(F.lit(1)).cast("long").alias("n_docs")).select(
-            F.lit(idx).cast("int").alias("stage_idx"),
-            F.lit(name).alias("stage"),
-            "n_docs",
+    marked = flags.filter(F.col("_d")).withColumn(
+        "_bench", benchmark_flag(F.col("doc_id"))
+    )
+    bench_sh = (
+        marked.filter(F.col("_bench"))
+        .select(F.explode(_word_shingles(F.col("text"))).alias("_sh"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    cand_sh = (
+        marked.filter(~F.col("_bench"))
+        .select("doc_id", F.explode(_word_shingles(F.col("text"))).alias("_sh"))
+        .distinct()
+    )
+    hits = (
+        cand_sh.join(F.broadcast(bench_sh), on="_sh", how="left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_hits"),
         )
-
-    splits = (
-        s.groupBy("split")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
-        .select(
-            (
-                F.when(F.col("split") == "train", F.lit(4))
-                .when(F.col("split") == "val", F.lit(5))
-                .otherwise(F.lit(6))
+    )
+    keep = (
+        hits.withColumn(
+            "overlap_frac",
+            F.round(
+                F.when(
+                    F.col("n_shingles") > 0, F.col("n_hits") / F.col("n_shingles")
+                ).otherwise(F.lit(0.0)),
+                6,
+            ),
+        )
+        .filter(F.col("overlap_frac") < contam_threshold)
+        .select("doc_id", F.lit(True).alias("_k"))
+    )
+    final = hash_split(
+        flags.join(keep, on="doc_id", how="left").withColumn(
+            "_c", F.col("_d") & F.coalesce(F.col("_k"), F.lit(False))
+        ),
+        key_col="doc_id",
+        train=train,
+        val=val,
+        salt=salt,
+    )
+    counts = final.agg(
+        F.count(F.lit(1)).cast("long").alias("_n0"),
+        F.sum(F.col("_q").cast("long")).cast("long").alias("_n1"),
+        F.sum(F.col("_d").cast("long")).cast("long").alias("_n2"),
+        F.sum(F.col("_c").cast("long")).cast("long").alias("_n3"),
+        *[
+            F.coalesce(
+                F.sum((F.col("_c") & (F.col("split") == s)).cast("long")), F.lit(0)
+            ).cast("long").alias(f"_n{i + 4}")
+            for i, s in enumerate(("train", "val", "test"))
+        ],
+    )
+    stages = [
+        (0, "input"), (1, "quality"), (2, "dedup"), (3, "decontam"),
+        (4, "split_train"), (5, "split_val"), (6, "split_test"),
+    ]
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("int").alias("stage_idx"),
+                F.lit(name).alias("stage"),
+                F.col(f"_n{i}").alias("n_docs"),
             )
-            .cast("int")
-            .alias("stage_idx"),
-            F.concat(F.lit("split_"), F.col("split")).alias("stage"),
-            "n_docs",
-        )
+            for i, name in stages
+        ]
     )
     return (
-        one(0, "input", docs)
-        .unionByName(one(1, "quality", q))
-        .unionByName(one(2, "dedup", d))
-        .unionByName(one(3, "decontam", c))
-        .unionByName(splits)
+        counts.select(F.explode(rows).alias("_r"))
+        .select("_r.stage_idx", "_r.stage", "_r.n_docs")
+        # the old per-stage union always emitted stages 0-3 but split rows
+        # only for splits the groupBy saw — keep that contract exactly
+        .filter((F.col("stage_idx") <= 3) | (F.col("n_docs") > 0))
     )

@@ -171,17 +171,28 @@ def ngram_jaccard_pairs(
     shingles appearing in more documents than the cap — they are
     non-discriminative AND they blow the candidate-pair count up
     quadratically (the skew guard that makes this viable at scale)."""
+    from pyspark.sql import Window
+
+    # df-cap and per-doc sizes as count-over-window columns on ONE distinct
+    # shingle stream, carried through the self-join: the old shape
+    # re-evaluated the explode+distinct+df-join subtree three times (a, b,
+    # sizes) and paid two extra joins to attach the sizes; here each side
+    # of the self-join already carries its doc's size (constant within a
+    # (doc_a, doc_b) group, collapsed with min), and the two join sides
+    # are the identical subtree shuffled on the same key, which Spark
+    # reuses as one exchange.
     sh = (
         docs.select("doc_id", F.explode(_word_shingles(F.col("text"))).alias("_sh"))
         .distinct()
     )
-    df_counts = sh.groupBy("_sh").agg(F.count(F.lit(1)).alias("_df"))
-    sh = sh.join(
-        df_counts.filter(F.col("_df") <= max_shingle_df).select("_sh"), on="_sh"
+    kept = (
+        sh.withColumn("_df", F.count(F.lit(1)).over(Window.partitionBy("_sh")))
+        .filter(F.col("_df") <= max_shingle_df)
+        .withColumn("_n", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
+        .select("doc_id", "_sh", "_n")
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("_n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    a = kept.alias("a")
+    b = kept.alias("b")
     common = (
         a.join(
             b,
@@ -191,14 +202,14 @@ def ngram_jaccard_pairs(
             ],
         )
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("_common"))
+        .agg(
+            F.count(F.lit(1)).alias("_common"),
+            F.min(F.col("a._n")).alias("_na"),
+            F.min(F.col("b._n")).alias("_nb"),
+        )
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("_n").alias("_na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("_n").alias("_nb"))
     return (
-        common.join(sa, on="doc_a")
-        .join(sb, on="doc_b")
-        .withColumn(
+        common.withColumn(
             "jaccard",
             F.round(
                 F.col("_common") / (F.col("_na") + F.col("_nb") - F.col("_common")), 6
@@ -238,49 +249,63 @@ def dedup_recall(
     query's threshold so the truth window is explicit, not implied."""
     truth = ngram_jaccard_pairs(docs, threshold=min(thresholds))
     cand = minhash_lsh_pairs(docs)
-    flagged = truth.join(
-        cand.withColumn("_hit", F.lit(1)), on=["doc_a", "doc_b"], how="left"
-    ).select("doc_a", "jaccard", F.coalesce(F.col("_hit"), F.lit(0)).alias("_hit"))
-    spark = docs.sparkSession
-    # the grid rides as (integer pct, double threshold) pairs: the pct is
-    # the OUTPUT key (integers sort/hash identically everywhere); the
-    # double literal does the comparison (identical literal on both engines)
-    thr = spark.range(1).select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(int(round(t * 100))).cast("long").alias("threshold_pct"),
-                        F.lit(float(t)).alias("_t"),
-                    )
-                    for t in sorted(thresholds)
-                ]
-            )
-        ).alias("_g")
-    ).select("_g.threshold_pct", "_g._t")
-    per = (
-        F.broadcast(thr)
-        .join(flagged, on=F.col("jaccard") >= F.col("_t"), how="left")
-        .groupBy("threshold_pct")
-        .agg(
-            F.count(F.col("doc_a")).cast("long").alias("n_truth"),
-            F.coalesce(F.sum("_hit"), F.lit(0)).cast("long").alias("n_hit"),
+    # FULL-outer join + ONE global aggregate instead of the old
+    # (truth LEFT JOIN cand) + broadcast-grid theta join + separate
+    # count(cand): the old shape evaluated the whole LSH candidate
+    # pipeline TWICE (once for the hit flags, once for |cand|) and
+    # re-scanned every flagged row once per grid threshold.  Here cand
+    # rows ride the same stream (_hit = 1, jaccard NULL — NULL >= t is
+    # never true, so they enter n_cand but no per-threshold count), the
+    # per-threshold counts become 2 x |grid| conditional aggregates over
+    # one pass, and the 3-row output is an explode of the aggregate row.
+    # Values are identical: n_truth_t = #(jaccard >= t), n_hit_t =
+    # #(jaccard >= t AND hit), n_cand = sum(_hit) (pairs are unique on
+    # both sides, so the full join never duplicates a row).
+    grid = [(int(round(t * 100)), float(t)) for t in sorted(thresholds)]
+    joined = truth.join(
+        cand.withColumn("_hit", F.lit(1)), on=["doc_a", "doc_b"], how="full"
+    ).select("jaccard", F.coalesce(F.col("_hit"), F.lit(0)).alias("_hit"))
+    aggs = [F.coalesce(F.sum("_hit"), F.lit(0)).cast("long").alias("n_cand")]
+    for i, (_pct, t) in enumerate(grid):
+        ge = F.col("jaccard") >= F.lit(t)
+        aggs.append(
+            F.coalesce(
+                F.sum(F.when(ge, F.lit(1)).otherwise(F.lit(0))), F.lit(0)
+            ).cast("long").alias(f"_nt{i}")
         )
+        aggs.append(
+            F.coalesce(
+                F.sum(F.when(ge, F.col("_hit")).otherwise(F.lit(0))), F.lit(0)
+            ).cast("long").alias(f"_nh{i}")
+        )
+    row = joined.agg(*aggs)
+    per_t = F.array(
+        *[
+            F.struct(
+                F.lit(pct).cast("long").alias("threshold_pct"),
+                F.col(f"_nt{i}").alias("n_truth"),
+                F.col(f"_nh{i}").alias("n_hit"),
+            )
+            for i, (pct, _t) in enumerate(grid)
+        ]
     )
-    n_cand = cand.agg(F.count(F.lit(1)).cast("long").alias("n_cand"))
-    return per.crossJoin(F.broadcast(n_cand)).select(
-        "threshold_pct",
-        "n_truth",
-        "n_hit",
-        "n_cand",
-        F.when(
-            F.col("n_truth") > 0,
-            F.round(F.col("n_hit").cast("double") / F.col("n_truth"), 6),
-        ).alias("recall_at_t"),
-        F.when(
-            F.col("n_cand") > 0,
-            F.round(F.col("n_hit").cast("double") / F.col("n_cand"), 6),
-        ).alias("precision_at_t"),
+    return (
+        row.select(F.explode(per_t).alias("_g"), "n_cand")
+        .select("_g.threshold_pct", "_g.n_truth", "_g.n_hit", "n_cand")
+        .select(
+            "threshold_pct",
+            "n_truth",
+            "n_hit",
+            "n_cand",
+            F.when(
+                F.col("n_truth") > 0,
+                F.round(F.col("n_hit").cast("double") / F.col("n_truth"), 6),
+            ).alias("recall_at_t"),
+            F.when(
+                F.col("n_cand") > 0,
+                F.round(F.col("n_hit").cast("double") / F.col("n_cand"), 6),
+            ).alias("precision_at_t"),
+        )
     )
 
 
@@ -795,17 +820,26 @@ def span_dedup(
             )
         ).alias("_h"),
     )
-    dfc = (
-        sp.distinct()
-        .groupBy("_h")
-        .agg(F.count(F.lit(1)).alias("_df"))
-    )
+    # One explode/md5 pass instead of two: reduce to per-(doc, span)
+    # OCCURRENCE counts first (map-side combined), then the span's
+    # document frequency is a count-over-window on that aggregate — the
+    # window shuffles by the SAME _h key the old distinct+groupBy+join
+    # shape needed THREE exchanges (and a second full explode) for.
+    # n_spans = sum of occurrences ≡ the old per-occurrence count;
+    # n_dup_spans = occurrences whose span df >= min_df ≡ the old
+    # sum((_df >= min_df)::long) over occurrence rows.
+    from pyspark.sql import Window
+
+    g = sp.groupBy("doc_id", "_h").agg(F.count(F.lit(1)).alias("_occ"))
+    w_df = Window.partitionBy("_h")
     perdoc = (
-        sp.join(dfc, on="_h")
+        g.withColumn("_df", F.count(F.lit(1)).over(w_df))
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_spans"),
-            F.sum((F.col("_df") >= min_df).cast("long")).alias("n_dup_spans"),
+            F.sum("_occ").cast("long").alias("n_spans"),
+            F.sum(
+                F.when(F.col("_df") >= min_df, F.col("_occ")).otherwise(F.lit(0))
+            ).alias("n_dup_spans"),
         )
     )
     return (

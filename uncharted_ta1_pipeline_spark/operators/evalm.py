@@ -116,6 +116,56 @@ def eval_f1_per_class(df: DataFrame, radius_s: int = RADIUS_S) -> DataFrame:
     )
 
 
+def _first_turn_pairs(df: DataFrame) -> DataFrame:
+    """(conv_id, field, _cand_text, _ref_text): each conversation's first
+    assistant/tool turn text paired with its first user turn text — the
+    shared pairing of the METEOR/BLEU/ROUGE field scorers.
+
+    ONE map-side-combinable ``min_by`` aggregate instead of the old
+    row_number window + role filters + self-join (which re-evaluated the
+    scan+sort subtree once per side): ``min_by`` with a conditional
+    ordering key ignores rows of other roles (NULL key), so the struct
+    minimum over (ts, turn_idx) IS the first turn of that role — ties are
+    impossible because (ts, turn_idx) is unique per conversation.  The
+    first turn is wrapped in a struct so a conversation whose first turn
+    of a role exists is distinguishable from one with no such role even
+    if its text were NULL (same row set as the old inner join).  Roles
+    are the transcript vocabulary {user, assistant, tool} (the
+    load_transcripts contract)."""
+
+    def first_turn(role: str):
+        c = F.col("role") == role
+        return F.min_by(
+            F.when(c, F.struct(F.col("text").alias("t"))),
+            F.when(c, F.struct("ts", "turn_idx")),
+        )
+
+    agg = df.groupBy("conv_id").agg(
+        first_turn("user").alias("_u"),
+        first_turn("assistant").alias("_a"),
+        first_turn("tool").alias("_t"),
+    )
+    fields = F.array(
+        F.struct(F.lit("assistant").alias("field"), F.col("_a").alias("s")),
+        F.struct(F.lit("tool").alias("field"), F.col("_t").alias("s")),
+    )
+    return (
+        agg.filter(F.col("_u").isNotNull())
+        .select(
+            "conv_id",
+            F.col("_u.t").alias("_ref_text"),
+            F.explode(fields).alias("_f"),
+        )
+        .filter(F.col("_f.s").isNotNull())
+        .select(
+            "conv_id",
+            F.col("_f.field").alias("field"),
+            F.col("_f.s.t").alias("_cand_text"),
+            "_ref_text",
+        )
+    )
+
+
 def _greedy_align(cand: F.Column, ref: F.Column) -> F.Column:
     """METEOR's exact-match stage: align each candidate token (left to
     right) to the smallest UNUSED reference position holding the same token.
@@ -159,19 +209,7 @@ def meteor_per_field(df: DataFrame) -> DataFrame:
     Score = Fmean · (1 − penalty) with Fmean = 10PR/(R+9P),
     penalty = 0.5·(chunks/matches)³ — the standard METEOR formula over the
     greedy alignment; 0 when nothing matches."""
-    w = Window.partitionBy("conv_id", "role").orderBy("ts", "turn_idx")
-    firsts = (
-        df.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select("conv_id", "role", "text")
-    )
-    refs = firsts.filter(F.col("role") == "user").select(
-        "conv_id", F.col("text").alias("_ref_text")
-    )
-    cands = firsts.filter(F.col("role") != "user").select(
-        "conv_id", F.col("role").alias("field"), F.col("text").alias("_cand_text")
-    )
-    prs = cands.join(refs, on="conv_id").select(
+    prs = _first_turn_pairs(df).select(
         "conv_id",
         "field",
         F.split("_cand_text", " ").alias("_cand"),
@@ -326,19 +364,12 @@ def bleu_precisions(df: DataFrame) -> DataFrame:
     per-row quadratic multiset intersection, so a 10^5-token field costs
     O(tokens), not O(tokens²).
     """
-    w = Window.partitionBy("conv_id", "role").orderBy("ts", "turn_idx")
-    firsts = (
-        df.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select("conv_id", "role", "text")
+    prs = _first_turn_pairs(df).select(
+        "conv_id",
+        "field",
+        F.split("_cand_text", " ").alias("_cand"),
+        F.split("_ref_text", " ").alias("_ref"),
     )
-    refs = firsts.filter(F.col("role") == "user").select(
-        "conv_id", F.split("text", " ").alias("_ref")
-    )
-    cands = firsts.filter(F.col("role") != "user").select(
-        "conv_id", F.col("role").alias("field"), F.split("text", " ").alias("_cand")
-    )
-    prs = cands.join(refs, on="conv_id")
 
     def _bigrams(arr):
         n = F.size(arr)
@@ -348,51 +379,64 @@ def bleu_precisions(df: DataFrame) -> DataFrame:
             lambda a, b: F.concat(a, F.lit(" "), b),
         )
 
-    def _clip(gram_col_cand, gram_col_ref):
-        cc = (
-            prs.select("conv_id", "field", F.explode(gram_col_cand).alias("g"))
-            .groupBy("conv_id", "field", "g")
-            .agg(F.count(F.lit(1)).alias("cc"))
-        )
-        rc = (
-            prs.select("conv_id", "field", F.explode(gram_col_ref).alias("g"))
-            .groupBy("conv_id", "field", "g")
-            .agg(F.count(F.lit(1)).alias("rc"))
-        )
-        return (
-            cc.join(rc, on=["conv_id", "field", "g"])
-            .groupBy("conv_id", "field")
-            .agg(F.sum(F.least("cc", "rc")).alias("clip"))
+    # ONE tagged explode + two aggregates instead of four separate
+    # explode->count branches joined back onto a fifth pass (the old shape
+    # evaluated the pair subtree — scan + first-turn window + join — five
+    # times; this one evaluates it once).  Values are identical: cc/rc are
+    # the same per-(pair, gram) occurrence counts, clip_n = sum of
+    # min(cc, rc) over grams present on BOTH sides (the old inner join),
+    # and n1/n2/ref_len fall out of the same counts (n1 = total candidate
+    # unigrams = size(_cand), n2 = bigram count = greatest(size-1, 0),
+    # ref_len = size(_ref) — split() never yields an empty array, so every
+    # pair carries at least one unigram row and no row goes missing).
+    def _tag(arr, n: int, side: int):
+        return F.transform(
+            arr,
+            lambda t: F.struct(
+                F.lit(n).alias("n"), F.lit(side).alias("side"), t.alias("g")
+            ),
         )
 
-    c1 = _clip(F.col("_cand"), F.col("_ref")).withColumnRenamed("clip", "clip1")
-    c2 = _clip(_bigrams(F.col("_cand")), _bigrams(F.col("_ref"))).withColumnRenamed(
-        "clip", "clip2"
+    grams = F.concat(
+        _tag(F.col("_cand"), 1, 0),
+        _tag(_bigrams(F.col("_cand")), 2, 0),
+        _tag(F.col("_ref"), 1, 1),
+        _tag(_bigrams(F.col("_ref")), 2, 1),
     )
-    base = prs.select(
+    counts = (
+        prs.select("conv_id", "field", F.explode(grams).alias("_t"))
+        .select("conv_id", "field", "_t.n", "_t.side", "_t.g")
+        .groupBy("conv_id", "field", "n", "g")
+        .agg(
+            F.sum(F.when(F.col("side") == 0, 1).otherwise(0)).alias("cc"),
+            F.sum(F.when(F.col("side") == 1, 1).otherwise(0)).alias("rc"),
+        )
+    )
+    is1, is2 = F.col("n") == 1, F.col("n") == 2
+    both = (F.col("cc") > 0) & (F.col("rc") > 0)
+    per = counts.groupBy("conv_id", "field").agg(
+        F.sum(F.when(is1, F.col("cc")).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(is2, F.col("cc")).otherwise(0)).cast("long").alias("n2"),
+        F.sum(F.when(is1, F.col("rc")).otherwise(0)).cast("long").alias("ref_len"),
+        F.sum(F.when(is1 & both, F.least("cc", "rc")).otherwise(0))
+        .cast("long")
+        .alias("clip1"),
+        F.sum(F.when(is2 & both, F.least("cc", "rc")).otherwise(0))
+        .cast("long")
+        .alias("clip2"),
+    )
+    return per.select(
         "conv_id",
         "field",
-        F.size("_cand").cast("long").alias("n1"),
-        F.greatest(F.size("_cand") - 1, F.lit(0)).cast("long").alias("n2"),
-        F.size("_ref").cast("long").alias("ref_len"),
-    )
-    return (
-        base.join(c1, on=["conv_id", "field"], how="left")
-        .join(c2, on=["conv_id", "field"], how="left")
-        .select(
-            "conv_id",
-            "field",
-            "n1",
-            "n2",
-            "ref_len",
-            F.coalesce("clip1", F.lit(0)).cast("long").alias("clip1"),
-            F.coalesce("clip2", F.lit(0)).cast("long").alias("clip2"),
-            F.round(F.coalesce("clip1", F.lit(0)) / F.col("n1"), 6).alias("p1"),
-            F.when(
-                F.col("n2") > 0,
-                F.round(F.coalesce("clip2", F.lit(0)) / F.col("n2"), 6),
-            ).alias("p2"),
-        )
+        "n1",
+        "n2",
+        "ref_len",
+        "clip1",
+        "clip2",
+        F.round(F.col("clip1") / F.col("n1"), 6).alias("p1"),
+        F.when(
+            F.col("n2") > 0, F.round(F.col("clip2") / F.col("n2"), 6)
+        ).alias("p2"),
     )
 
 
@@ -418,50 +462,52 @@ def rouge_l(df: DataFrame, max_tokens: int = 64) -> DataFrame:
     Emits the rational scores only (P = lcs/|cand|, R = lcs/|ref|,
     F1 = 2PR/(P+R)) — no transcendental, bit-portable across engines.
     """
-    w = Window.partitionBy("conv_id", "role").orderBy("ts", "turn_idx")
-    firsts = (
-        df.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select("conv_id", "role", "text")
-    )
-    refs = firsts.filter(F.col("role") == "user").select(
-        "conv_id", F.slice(F.split("text", " "), 1, max_tokens).alias("_ref")
-    )
-    cands = firsts.filter(F.col("role") != "user").select(
-        "conv_id",
-        F.col("role").alias("field"),
-        F.slice(F.split("text", " "), 1, max_tokens).alias("_cand"),
-    )
-    prs = cands.join(refs, on="conv_id")
-    cand, ref = F.col("_cand"), F.col("_ref")
-    m = F.size(ref)
-    zero_row = F.transform(F.sequence(F.lit(0), m), lambda _: F.lit(0))
-
-    def outer_step(prev, i):
-        def inner_step(acc, j):
-            eq = F.element_at(cand, i) == F.element_at(ref, j)
-            val = F.when(eq, F.element_at(prev, j) + 1).otherwise(
-                F.greatest(
-                    F.element_at(prev, j + 1),
-                    F.element_at(acc, F.size(acc)),
-                )
-            )
-            return F.concat(acc, F.array(val))
-
-        return F.aggregate(
-            F.sequence(F.lit(1), m), F.array(F.lit(0)), inner_step
-        )
-
-    lcs = F.element_at(
-        F.aggregate(F.sequence(F.lit(1), F.size(cand)), zero_row, outer_step),
-        m + 1,
-    )
-    out = prs.select(
+    prs = _first_turn_pairs(df).select(
         "conv_id",
         "field",
-        F.size(cand).cast("long").alias("n_cand"),
-        F.size(ref).cast("long").alias("n_ref"),
-        lcs.cast("long").alias("lcs"),
+        F.slice(F.split("_cand_text", " "), 1, max_tokens).alias("_cand"),
+        F.slice(F.split("_ref_text", " "), 1, max_tokens).alias("_ref"),
+    )
+
+    # The DP itself runs as an integer numpy row sweep inside mapInPandas
+    # (guide §4.2) instead of the old nested Catalyst aggregate: the inner
+    # fold built each DP row by array-concat (O(m) per CELL -> O(m³) array
+    # traffic per pair), all of it interpreted.  The numpy form is the
+    # textbook row-max variant — dp[i][j] = max(dp[i-1][j], dp[i][j-1],
+    # eq ? dp[i-1][j-1]+1 : 0), a cumulative max per row — which equals
+    # the standard LCS recurrence because LCS increments by at most 1 per
+    # step.  Every value is an int64: no float crosses Python, so the
+    # engine-parity contract is untouched (P/R/F stay Catalyst-side).
+    def lcs_batch(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            n_c, n_r, lcs_v = [], [], []
+            for cand_toks, ref_toks in zip(pdf["_cand"], pdf["_ref"]):
+                c = np.asarray(cand_toks, dtype=object)
+                r = np.asarray(ref_toks, dtype=object)
+                n_c.append(len(c))
+                n_r.append(len(r))
+                eq = c[:, None] == r[None, :]
+                prev = np.zeros(len(r) + 1, dtype=np.int64)
+                for i in range(len(c)):
+                    t = np.where(eq[i], prev[:-1] + 1, 0)
+                    cur = np.maximum.accumulate(np.maximum(prev[1:], t))
+                    prev = np.concatenate(([0], cur))
+                lcs_v.append(int(prev[-1]))
+            yield pd.DataFrame(
+                {
+                    "conv_id": pdf["conv_id"],
+                    "field": pdf["field"],
+                    "n_cand": pd.Series(n_c, dtype="int64"),
+                    "n_ref": pd.Series(n_r, dtype="int64"),
+                    "lcs": pd.Series(lcs_v, dtype="int64"),
+                }
+            )
+
+    out = prs.select("conv_id", "field", "_cand", "_ref").mapInPandas(
+        lcs_batch, "conv_id string, field string, n_cand long, n_ref long, lcs long"
     )
     p = F.col("lcs") / F.col("n_cand")
     r = F.col("lcs") / F.col("n_ref")

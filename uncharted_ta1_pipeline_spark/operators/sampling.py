@@ -210,8 +210,11 @@ def curriculum_buckets(
     hist = hist.withColumn("_hi", F.sum("_cnt").over(w_cum)).withColumn(
         "_lo", F.col("_hi") - F.col("_cnt")
     )
-    total = hist.agg(F.sum("_cnt").alias("_n"))
-    h = hist.crossJoin(F.broadcast(total))
+    # corpus total as max cumulative count over the SAME bounded histogram
+    # window pass (first_message_templates precedent) — the old
+    # agg + crossJoin re-evaluated the whole scored->hist chain a second
+    # time just to produce this one scalar
+    h = hist.withColumn("_n", F.max("_hi").over(Window.partitionBy(F.lit(1))))
     nb = F.lit(n_buckets)
     base = F.floor(F.col("_n") / nb)  # rows per small bucket
     rem = F.col("_n") % nb            # first `rem` buckets get base+1

@@ -178,6 +178,10 @@ def session_carryover(
     per-segment rank context from earlier segments,
     /root/reference/tasks/segmentation/segmenter_utils.py:20-37 with the
     adjacent-pairing of geo_referencing/coordinates_extractor.py:509-539.
+
+    NOTE (ADVICE r5): the ``gap_s=1800`` default is frozen into the
+    registered oracle SQL; non-default calls bypass the driver parity gate
+    and are pytest-only — the denoise_segments convention.
     """
     s = session_stats(df, gap_s, gap_us)
     w = Window.partitionBy("conv_id").orderBy("session_id")

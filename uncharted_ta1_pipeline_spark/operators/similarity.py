@@ -44,15 +44,33 @@ def plane_sign_vector(plane: int, dim: int = EMB_DIM) -> list[float]:
     ]
 
 
+def dot_seq(a: F.Column, b: F.Column) -> F.Column:
+    """Sequential-order dot product of two array<double> columns — the same
+    left-to-right evaluation DuckDB's list functions use, so rounded
+    outputs agree bit-exact across engines.
+
+    Deliberately the higher-order fold, NOT an unrolled 64-term expression
+    tree: the unrolled form was A/B'd at sf1.0 and blew Janino's 64 KB
+    method limit ("Code grows beyond 64 KB"), killing whole-stage codegen
+    for every stage it appeared in — ann_lsh 3.2s -> 20.9s, semdedup
+    28.7s -> 68.9s.  The fold is a CodegenFallback leaf, so the REST of
+    the stage keeps codegen and only the dot itself is interpreted.
+    Chained-partial columns can't rescue the unroll either: CollapseProject
+    re-inlines single-use aliases back into one giant tree."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm_seq(a: F.Column) -> F.Column:
+    """sqrt of the sequential sum of squares (fold form — see dot_seq)."""
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
 def cosine(a: F.Column, b: F.Column) -> F.Column:
     """Cosine similarity of two array<double> columns, evaluated in array
     order (deterministic, engine-portable)."""
-    dot = F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
-    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
-    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x * x))
-    return dot / (na * nb)
+    return dot_seq(a, b) / (norm_seq(a) * norm_seq(b))
 
 
 def ann_bruteforce(
@@ -62,14 +80,24 @@ def ann_bruteforce(
 
     Ranking is on the ROUNDED score with an id tiebreak so ordering is
     identical at any parallelism (and in the DuckDB oracle)."""
-    v = emb.select(F.col(id_col), F.col("embedding").cast("array<double>").alias("_v"))
+    # norms hoisted out of the pair loop: one interpreted fold per VECTOR
+    # (and per query) instead of three per PAIR — same doubles in the same
+    # op order (dot / (norm_q * norm_v), exactly ``cosine``), so rounded
+    # outputs are unchanged
+    v = emb.select(
+        F.col(id_col), F.col("embedding").cast("array<double>").alias("_v")
+    ).withColumn("_vn", norm_seq(F.col("_v")))
     q = v.filter(F.col(id_col) < n_queries).select(
-        F.col(id_col).alias("query_id"), F.col("_v").alias("_q")
+        F.col(id_col).alias("query_id"),
+        F.col("_v").alias("_q"),
+        F.col("_vn").alias("_qn"),
     )
     scored = q.join(v, on=[F.col(id_col) != F.col("query_id")]).select(
         "query_id",
         F.col(id_col).alias("neighbor_id"),
-        F.round(cosine(F.col("_q"), F.col("_v")), 6).alias("cosine"),
+        F.round(
+            dot_seq(F.col("_q"), F.col("_v")) / (F.col("_qn") * F.col("_vn")), 6
+        ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -106,19 +134,22 @@ def _bucketize(
     v: DataFrame, n_planes: int, n_tables: int, id_col: str = "vec_id"
 ) -> DataFrame:
     """(id, table, bucket) rows across all hash tables; ``v`` must carry the
-    vector as ``_v``."""
-    tables = [
-        v.select(
-            id_col,
+    vector as ``_v``.
+
+    One explode of an ``n_tables``-element struct array — NOT an
+    n_tables-way union, which made Catalyst evaluate the ``v`` subtree
+    (scan + spread exchange) once per table (the minhash_bands lesson,
+    re-learned here in r6: the union form cost 8 scans per reference)."""
+    entries = [
+        F.struct(
             F.lit(t).alias("_tbl"),
             _bucket_expr(F.col("_v"), t, n_planes).alias("_bkt"),
         )
         for t in range(n_tables)
     ]
-    allb = tables[0]
-    for extra in tables[1:]:
-        allb = allb.unionByName(extra)
-    return allb
+    return v.select(id_col, F.explode(F.array(*entries)).alias("_e")).select(
+        id_col, F.col("_e._tbl").alias("_tbl"), F.col("_e._bkt").alias("_bkt")
+    )
 
 
 def ann_bucket_stats(
@@ -157,10 +188,9 @@ IVF_QUANT = 1_000_000
 def _dot(a: F.Column, b: F.Column) -> F.Column:
     """Sequential-order dot product of two array<double> columns — the same
     left-to-right evaluation DuckDB's list_inner_product uses, so rounded
-    outputs agree bit-exact across engines."""
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
+    outputs agree bit-exact across engines.  Unrolled via :func:`dot_seq`
+    (identical float-op order, whole-stage-codegen friendly)."""
+    return dot_seq(a, b)
 
 
 def _dist2(x: F.Column, c: F.Column) -> F.Column:
@@ -225,29 +255,29 @@ def _ivf_centroids(
         .agg(_best0.alias("_b"))
         .select(id_col, F.col("_b.cluster").alias("cluster"), F.col("_b._v").alias("_v"))
     )
-    # Lloyd step: exact integer per-dimension sums -> deterministic means
-    sums = (
-        a0.select("cluster", F.posexplode("_v").alias("_dim", "_x"))
-        .groupBy("cluster", "_dim")
-        .agg(
-            F.sum(F.floor(F.col("_x") * IVF_QUANT).cast("long")).alias("_s"),
-            F.count(F.lit(1)).alias("_n"),
-        )
+    # Lloyd step: exact integer per-dimension sums -> deterministic means.
+    # One groupBy(cluster) with EMB_DIM column aggregates instead of the
+    # old posexplode -> groupBy(cluster, dim) shape: same quantized sums
+    # (order-independent longs) and the same dim-ordered mean array, but no
+    # dim x N row blowup and no collect_list/array_sort reassembly — the
+    # map side combines straight to one row per cluster.
+    sums = a0.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[
+            F.sum(
+                F.floor(F.element_at(F.col("_v"), d + 1) * IVF_QUANT).cast("long")
+            ).alias(f"_s{d}")
+            for d in range(EMB_DIM)
+        ],
     )
-    return sums.groupBy("cluster").agg(
-        F.transform(
-            F.array_sort(
-                F.collect_list(
-                    F.struct(
-                        F.col("_dim"),
-                        (F.col("_s") / (F.lit(float(IVF_QUANT)) * F.col("_n"))).alias(
-                            "_c"
-                        ),
-                    )
-                )
-            ),
-            lambda s: s["_c"],
-        ).alias("_c")
+    return sums.select(
+        "cluster",
+        F.array(
+            *[
+                F.col(f"_s{d}") / (F.lit(float(IVF_QUANT)) * F.col("_n"))
+                for d in range(EMB_DIM)
+            ]
+        ).alias("_c"),
     )
 
 
@@ -347,17 +377,28 @@ def ivf_topk(
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id")
     )
+    # norms hoisted (see ann_bruteforce): one fold per vector, not three
+    # per candidate pair — identical doubles, identical op order
     qv = v.filter(F.col(id_col) < n_queries).select(
-        F.col(id_col).alias("query_id"), F.col("_v").alias("_q")
+        F.col(id_col).alias("query_id"),
+        F.col("_v").alias("_q"),
+        norm_seq(F.col("_v")).alias("_qn"),
     )
-    nv = v.select(F.col(id_col).alias("neighbor_id"), F.col("_v").alias("_n"))
+    nv = v.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("_v").alias("_n"),
+        norm_seq(F.col("_v")).alias("_nn"),
+    )
     scored = (
         cand.join(F.broadcast(qv), on="query_id")
         .join(nv, on="neighbor_id")
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("_q"), F.col("_n")), 6).alias("cosine"),
+            F.round(
+                dot_seq(F.col("_q"), F.col("_n")) / (F.col("_qn") * F.col("_nn")),
+                6,
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -410,17 +451,27 @@ def ann_lsh(
         .select("query_id", F.col(id_col).alias("neighbor_id"))
         .distinct()
     )
+    # norms hoisted (see ann_bruteforce): identical doubles, one fold/vector
     qv = v.filter(F.col(id_col) < n_queries).select(
-        F.col(id_col).alias("query_id"), F.col("_v").alias("_q")
+        F.col(id_col).alias("query_id"),
+        F.col("_v").alias("_q"),
+        norm_seq(F.col("_v")).alias("_qn"),
     )
-    nv = v.select(F.col(id_col).alias("neighbor_id"), F.col("_v").alias("_n"))
+    nv = v.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("_v").alias("_n"),
+        norm_seq(F.col("_v")).alias("_nn"),
+    )
     scored = (
         cand.join(F.broadcast(qv), on="query_id")
         .join(nv, on="neighbor_id")
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("_q"), F.col("_n")), 6).alias("cosine"),
+            F.round(
+                dot_seq(F.col("_q"), F.col("_n")) / (F.col("_qn") * F.col("_nn")),
+                6,
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -462,35 +513,45 @@ def ann_recall(
     per_q = truth.groupBy("query_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_truth")
     )
-    out = None
-    for method, approx in (
-        ("ann_lsh", ann_lsh(emb, n_queries, k, id_col=id_col)),
-        ("ivf_topk", ivf_topk(emb, n_queries, k, id_col=id_col)),
+    # ONE union-tagged hits join instead of one per method: the old loop
+    # evaluated the brute-force truth subtree three times (per_q + a hits
+    # join per method); tagging the approx lists first makes it two, and
+    # the per-(method, query) scaffold is a broadcast crossJoin of the
+    # tiny per_q table with a 2-row method dim (same left-join-with-0
+    # fill as before, so zero-hit (method, query) rows still appear).
+    methods = ("ann_lsh", "ivf_topk")
+    approx = None
+    for method, adf in (
+        (methods[0], ann_lsh(emb, n_queries, k, id_col=id_col)),
+        (methods[1], ivf_topk(emb, n_queries, k, id_col=id_col)),
     ):
-        hits = (
-            truth.join(
-                approx.select("query_id", "neighbor_id"),
-                on=["query_id", "neighbor_id"],
-            )
-            .groupBy("query_id")
-            .agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
+        tagged = adf.select(
+            F.lit(method).alias("method"), "query_id", "neighbor_id"
         )
-        m = (
-            per_q.join(hits, on="query_id", how="left")
-            .select(
-                F.lit(method).alias("method"),
-                "query_id",
-                "n_truth",
-                F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_hit"),
-                F.round(
-                    F.coalesce(F.col("n_hit"), F.lit(0)).cast("double")
-                    / F.col("n_truth"),
-                    6,
-                ).alias("recall_at_k"),
-            )
+        approx = tagged if approx is None else approx.unionByName(tagged)
+    hits = (
+        truth.join(approx, on=["query_id", "neighbor_id"])
+        .groupBy("method", "query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
+    )
+    mdim = emb.sparkSession.range(1).select(
+        F.explode(F.array(*[F.lit(m) for m in methods])).alias("method")
+    )
+    return (
+        per_q.crossJoin(F.broadcast(mdim))
+        .join(hits, on=["method", "query_id"], how="left")
+        .select(
+            "method",
+            "query_id",
+            "n_truth",
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_hit"),
+            F.round(
+                F.coalesce(F.col("n_hit"), F.lit(0)).cast("double")
+                / F.col("n_truth"),
+                6,
+            ).alias("recall_at_k"),
         )
-        out = m if out is None else out.unionByName(m)
-    return out
+    )
 
 
 # SemDeDup guards, shared with the DuckDB oracle generator: a vector is a
@@ -504,6 +565,35 @@ def ann_recall(
 # semantic embeddings run this at 0.9+ — the threshold is the user dial.
 SEMDEDUP_THRESHOLD = 0.35
 SEMDEDUP_MAX_EARLIER = 256
+SEMDEDUP_CHUNK = 4096  # members per scored task group (bounds task memory)
+
+
+def _round_ge_boundary(threshold: float, nd: int = 6) -> float:
+    """Smallest double x with round(x, nd) >= threshold under Spark's
+    round semantics (BigDecimal.valueOf = shortest-decimal-repr, HALF_UP).
+
+    Lets a vectorized scorer test RAW similarities while reproducing the
+    engine's ``round(sim, 6) >= threshold`` decision exactly: round is
+    monotone, so the predicate is equivalent to ``x >= x_min`` for the
+    boundary double computed here.  k_min is the smallest 10^-nd grid
+    index whose double value passes the engine comparison; the boundary
+    is then the smallest double whose shortest-repr decimal rounds
+    (HALF_UP) to at least k_min.
+    """
+    import math
+    from decimal import Decimal
+
+    q = Decimal(10) ** nd
+    k = math.ceil(threshold * (10**nd)) + 2
+    while float(Decimal(k - 1) / q) >= threshold:
+        k -= 1
+    b = Decimal(k) / q - Decimal(1) / (2 * q)  # exact decimal midpoint
+    d = float(b)
+    while Decimal(str(d)) < b:
+        d = math.nextafter(d, math.inf)
+    while Decimal(str(math.nextafter(d, -math.inf))) >= b:
+        d = math.nextafter(d, -math.inf)
+    return d
 
 
 def semdedup(
@@ -536,56 +626,104 @@ def semdedup(
     /root/reference/tasks/point_extraction/tiling.py:277-413 (keep-first
     dedup inside an overlap neighborhood).
     """
+    from collections.abc import Iterator
+
     v = emb.select(
         F.col(id_col), F.col("embedding").cast("array<double>").alias("_v")
-    )
-    # hoist each vector's norm out of the pair loop: the per-pair cosine
-    # then costs one dot product instead of three array reductions, with
-    # bit-identical arithmetic (dot / (norm_src * norm_self), the exact
-    # float-op order of ``cosine``) — same rewrite that paid off for the
-    # IVF crossJoin
-    norm = F.sqrt(
-        F.aggregate(F.col("_v"), F.lit(0.0), lambda acc, x: acc + x * x)
     )
     m = (
         ivf_assign(emb, n_centroids, id_col)
         .select(id_col, F.col("cluster").cast("long").alias("cluster"))
         .join(v, on=id_col)
-        .withColumn("_nrm", norm)
     )
+    # Pair scoring as BOUNDED pack rows + one vectorized numpy pass
+    # (guide §4.2: hand whole batches to native code) instead of the old
+    # cluster-local self-join whose per-pair cosine was an interpreted
+    # 64-element Catalyst fold (the dominant cost at sf1.0: ~5M pairs x
+    # 64 lambda frames).  Members are packed ``SEMDEDUP_CHUNK`` per row
+    # (task memory stays O(chunk x dim + max_earlier x dim) — no
+    # unbounded per-key state), sources ride one pack row per cluster.
+    #
+    # Exactness contract, unchanged: the numpy accumulation loops over
+    # DIMENSIONS in order (acc += x_d * y_d from a zero start), which is
+    # float-op-identical to the fold's 0.0-seeded left-to-right sum, so
+    # every raw dot/norm double is bit-equal to the Catalyst/DuckDB
+    # evaluation.  max_sim is rounded in SPARK (round is monotone, so
+    # max(round(s)) == round(max(s)) over the qualifying set); the only
+    # Python-side decision is the threshold test, taken on raw sims
+    # against the exact round-boundary double (_round_ge_boundary), which
+    # reproduces ``round(sim, 6) >= threshold`` verbatim.
     w = Window.partitionBy("cluster").orderBy(id_col)
-    sources = (
-        m.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= max_earlier)
-        .select(
-            F.col("cluster"),
-            F.col(id_col).alias("_src_id"),
-            F.col("_v").alias("_src_v"),
-            F.col("_nrm").alias("_src_nrm"),
+    ranked = m.withColumn("_rn", F.row_number().over(w))
+    pack = F.collect_list(F.struct(F.col(id_col).alias("i"), F.col("_v").alias("v")))
+    src_pack = (
+        ranked.filter(F.col("_rn") <= max_earlier)
+        .groupBy("cluster")
+        .agg(pack.alias("_src"))
+    )
+    mem_pack = (
+        ranked.withColumn(
+            "_ck", F.floor((F.col("_rn") - 1) / F.lit(SEMDEDUP_CHUNK))
         )
+        .groupBy("cluster", "_ck")
+        .agg(pack.alias("_mem"))
     )
-    dot = F.aggregate(
-        F.zip_with(F.col("_src_v"), F.col("_v"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    bound = _round_ge_boundary(float(threshold))
+
+    def score(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out_i, out_n, out_mx = [], [], []
+            for mem, src in zip(pdf["_mem"], pdf["_src"]):
+                mids = np.array([r["i"] for r in mem], dtype=np.int64)
+                mv = np.array([list(r["v"]) for r in mem], dtype=np.float64)
+                sids = np.array([r["i"] for r in src], dtype=np.int64)
+                sv = np.array([list(r["v"]) for r in src], dtype=np.float64)
+                dim = mv.shape[1]
+                dot = np.zeros((len(mids), len(sids)))
+                nm = np.zeros(len(mids))
+                ns = np.zeros(len(sids))
+                for d in range(dim):  # dim-sequential: fold-exact order
+                    dot += mv[:, d : d + 1] * sv[:, d].reshape(1, -1)
+                    nm += mv[:, d] * mv[:, d]
+                    ns += sv[:, d] * sv[:, d]
+                sim = dot / (np.sqrt(ns).reshape(1, -1) * np.sqrt(nm).reshape(-1, 1))
+                mask = (sids.reshape(1, -1) < mids.reshape(-1, 1)) & (sim >= bound)
+                n = mask.sum(axis=1)
+                keep = n > 0
+                if keep.any():
+                    out_i.append(mids[keep])
+                    out_n.append(n[keep].astype(np.int64))
+                    out_mx.append(
+                        np.max(np.where(mask, sim, -np.inf), axis=1)[keep]
+                    )
+            yield pd.DataFrame(
+                {
+                    id_col: np.concatenate(out_i)
+                    if out_i
+                    else np.array([], dtype=np.int64),
+                    "_n_src": np.concatenate(out_n)
+                    if out_n
+                    else np.array([], dtype=np.int64),
+                    "_max_raw": np.concatenate(out_mx)
+                    if out_mx
+                    else np.array([], dtype=np.float64),
+                }
+            )
+
     hits = (
-        m.join(sources, on="cluster")
-        .filter(F.col("_src_id") < F.col(id_col))
-        .withColumn(
-            "_sim", F.round(dot / (F.col("_src_nrm") * F.col("_nrm")), 6)
-        )
-        .filter(F.col("_sim") >= threshold)
-        .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("_n_src"),
-            F.max("_sim").alias("_max_sim"),
-        )
+        mem_pack.join(src_pack, on="cluster")
+        .select("_mem", "_src")
+        .mapInPandas(score, f"{id_col} long, _n_src long, _max_raw double")
     )
     return m.join(hits, on=id_col, how="left").select(
         id_col,
         "cluster",
         F.coalesce((F.col("_n_src") > 0).cast("long"), F.lit(0)).alias("is_dup"),
         F.coalesce(F.col("_n_src"), F.lit(0)).cast("long").alias("n_dup_sources"),
-        F.coalesce(F.col("_max_sim"), F.lit(0.0)).alias("max_sim_earlier"),
+        F.coalesce(F.round(F.col("_max_raw"), 6), F.lit(0.0)).alias(
+            "max_sim_earlier"
+        ),
     )

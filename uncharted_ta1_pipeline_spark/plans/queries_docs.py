@@ -23,12 +23,46 @@ from uncharted_ta1_pipeline_spark.operators.similarity import (
 )
 
 
-def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+def _spread(df: DataFrame, spark: SparkSession, key: str) -> DataFrame:
+    """Fan a parallelism-starved scan out across the cluster before the
+    per-row heavy work (explode / md5 / regex / array folds) that dominates
+    every docs query.
+
+    The bench corpora are written as ONE parquet row group per file, so the
+    scan runs as a single task and everything up to the first exchange is
+    single-threaded on one of N cores (guide §2.5 "input skew: one huge
+    unsplittable file ... repartition immediately after the read").  The
+    deterministic hash repartition costs one exchange of the raw rows —
+    small next to the 10-30x parallelism it buys the map work.
+
+    Scale-adaptive, not a local[32] constant: the guard only fires when the
+    source actually yields fewer scan partitions than the cluster has cores
+    (``df.rdd.getNumPartitions()`` is the real post-split count).  On a
+    production corpus of many splittable files the scan already exceeds
+    defaultParallelism and this is a no-op — no extra exchange at 100 TB.
+    The explicit partition count keeps AQE from re-coalescing the exchange
+    below core count (advisory size would merge these small inputs back to
+    one partition).  Every operator is deterministic at any partitioning
+    (the engine's core contract, exercised by the local-cluster scaling
+    bench), so results are unchanged.
+    """
+    n = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n, F.col(key))
+    return df
 
 
-def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+def _docs(spark: SparkSession, sf_dir: str, spread: bool = True) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # spread=False for queries whose pre-shuffle per-row work is trivial
+    # (pure md5 / tiny projections): there the fan-out exchange costs more
+    # than the parallelism it buys (measured at sf1.0, e.g. hash_split).
+    return _spread(df, spark, "doc_id") if spread else df
+
+
+def _emb(spark: SparkSession, sf_dir: str, spread: bool = True) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return _spread(df, spark, "vec_id") if spread else df
 
 
 def q_dedup_exact(spark, sf_dir):
@@ -58,7 +92,9 @@ def q_simhash_pairs(spark, sf_dir):
 
 
 def q_embedding_cosine_pairs(spark, sf_dir):
-    return dd.embedding_cosine_pairs(_emb(spark, sf_dir), threshold=0.5)
+    # first op is the block-pack groupBy (a keyed shuffle anyway) and the
+    # heavy work is numpy inside mapInPandas — spread buys nothing here
+    return dd.embedding_cosine_pairs(_emb(spark, sf_dir, spread=False), threshold=0.5)
 
 
 def q_ann_bruteforce(spark, sf_dir):
@@ -165,7 +201,9 @@ def q_hash_split(spark, sf_dir):
     pipelines rely on)."""
     from uncharted_ta1_pipeline_spark.operators.sampling import hash_split
 
-    return hash_split(_docs(spark, sf_dir)).select("doc_id", "split")
+    return hash_split(_docs(spark, sf_dir, spread=False)).select(
+        "doc_id", "split"
+    )
 
 
 def q_stratified_sample(spark, sf_dir):
@@ -174,7 +212,7 @@ def q_stratified_sample(spark, sf_dir):
     filter genuinely differs per stratum."""
     from uncharted_ta1_pipeline_spark.operators.sampling import stratified_sample
 
-    d = _docs(spark, sf_dir)
+    d = _docs(spark, sf_dir, spread=False)
     rates = d.select("source").distinct().select(
         "source",
         (
@@ -189,8 +227,13 @@ def q_dedup_clusters(spark, sf_dir):
     """Connected-components cluster resolution over the LSH candidate
     pairs: every doc gets a cluster_id (component min doc_id), cluster
     size, and a keep-longest canonical flag."""
-    d = _docs(spark, sf_dir)
-    return dd.dedup_clusters(d, dd.minhash_lsh_pairs(d))
+    # the timed final plan only projects (doc_id, n_chars) and joins the
+    # checkpointed components — spread would add three fan-out exchanges
+    # for trivial per-row work; the pair generator keeps the spread input
+    return dd.dedup_clusters(
+        _docs(spark, sf_dir, spread=False),
+        dd.minhash_lsh_pairs(_docs(spark, sf_dir)),
+    )
 
 
 def q_contamination(spark, sf_dir):
@@ -218,7 +261,7 @@ def q_domain_mix(spark, sf_dir):
     capped by no-upsampling feasibility."""
     from uncharted_ta1_pipeline_spark.operators.sampling import domain_mix_rates
 
-    d = _docs(spark, sf_dir)
+    d = _docs(spark, sf_dir, spread=False)
     w = d.select("source").distinct().select(
         "source",
         (1 + F.regexp_extract("source", r"(\d+)", 1).cast("int") % 3).alias(
@@ -280,7 +323,7 @@ def q_pack_sequences(spark, sf_dir):
     """Concat-then-chunk packing offsets per (source, hash shard)."""
     from uncharted_ta1_pipeline_spark.operators.sampling import pack_sequences
 
-    return pack_sequences(_docs(spark, sf_dir)).select(
+    return pack_sequences(_docs(spark, sf_dir, spread=False)).select(
         "doc_id", "source", "shard", "n_tokens", "start_offset",
         "pack_id", "spans_boundary",
     )

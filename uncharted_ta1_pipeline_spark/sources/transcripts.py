@@ -137,24 +137,30 @@ def load_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def make_probes(transcripts: DataFrame) -> DataFrame:
-    """Deterministic probe set; textual twin of PROBES_CTE."""
-    on_turn = transcripts.filter(F.col("turn_idx") % 7 == 3).select(
-        F.concat(F.col("conv_id"), F.lit("#"), F.col("turn_idx").cast("string")).alias(
-            "probe_id"
-        ),
-        "conv_id",
-        (F.col("ts") + F.expr("INTERVAL 90 SECOND")).alias("probe_ts"),
-    )
-    pre = (
-        transcripts.groupBy("conv_id")
-        .agg(F.min("ts").alias("first_ts"))
-        .select(
-            F.concat(F.col("conv_id"), F.lit("#pre")).alias("probe_id"),
-            "conv_id",
-            (F.col("first_ts") - F.expr("INTERVAL 3600 SECOND")).alias("probe_ts"),
+    """Deterministic probe set; value twin of PROBES_CTE.
+
+    ONE filtered pass instead of the old on-turn filter + per-conv
+    ``groupBy(min(ts))`` union: the union form evaluated the whole
+    transcript derivation (scan + turn-ordering window) twice in every
+    consuming plan — and the as-of operators consume probes inside further
+    multi-branch plans, multiplying those scans again.  The pre-probe's
+    ``min(ts)`` IS the ``turn_idx = 0`` row's ts by the ingest invariant
+    (turn_idx is the dense row_number over (ts, event_id), so turn 0 holds
+    the conversation's minimal ts); ``0 % 7 != 3`` so the two probe kinds
+    are disjoint row sets and a single CASE projection reproduces the
+    union exactly."""
+    zero = F.col("turn_idx") == 0
+    return transcripts.filter((F.col("turn_idx") % 7 == 3) | zero).select(
+        F.when(zero, F.concat(F.col("conv_id"), F.lit("#pre")))
+        .otherwise(
+            F.concat(F.col("conv_id"), F.lit("#"), F.col("turn_idx").cast("string"))
         )
+        .alias("probe_id"),
+        "conv_id",
+        F.when(zero, F.col("ts") - F.expr("INTERVAL 3600 SECOND"))
+        .otherwise(F.col("ts") + F.expr("INTERVAL 90 SECOND"))
+        .alias("probe_ts"),
     )
-    return on_turn.unionByName(pre)
 
 
 def synth_transcripts(
