@@ -55,6 +55,25 @@ def truths(df: DataFrame) -> DataFrame:
     )
 
 
+def _tagged_events(df: DataFrame) -> DataFrame:
+    """One pass over the transcript tagging prediction vs truth events
+    (their row conditions are role-disjoint): (conv_id, class, _p) with
+    _p = 1 for predictions, 0 for truths.  Lets the per-class / per-conv
+    count aggregates run over a single source evaluation instead of one
+    filtered aggregate per side."""
+    is_pred = (F.col("role") == "tool") & F.col("tool").isin(CLASSES)
+    is_truth = (F.col("role") == "user") & (F.col("turn_idx") % 3 == 0)
+    truth_cls = F.element_at(
+        F.array(*[F.lit(c) for c in CLASSES]),
+        (F.floor(F.col("turn_idx") / 3) % 5 + 1).cast("int"),
+    )
+    return df.filter(is_pred | is_truth).select(
+        "conv_id",
+        F.when(is_pred, F.col("tool")).otherwise(truth_cls).alias("class"),
+        is_pred.cast("long").alias("_p"),
+    )
+
+
 def match_pairs(pred: DataFrame, truth: DataFrame, radius_s: int = RADIUS_S) -> DataFrame:
     """Mutual-nearest one-to-one matches within the radius.
 
@@ -85,15 +104,24 @@ def eval_f1_per_class(df: DataFrame, radius_s: int = RADIUS_S) -> DataFrame:
     tp = match_pairs(pred, truth, radius_s).groupBy("class").agg(
         F.count(F.lit(1)).alias("tp")
     )
-    np_ = pred.groupBy("class").agg(F.count(F.lit(1)).alias("n_pred"))
-    nt = truth.groupBy("class").agg(F.count(F.lit(1)).alias("n_truth"))
+    # n_pred/n_truth from ONE tagged pass (pred/truth row conditions are
+    # role-disjoint) instead of two filtered aggregates full-joined back:
+    # same (class, counts) rows — a class appears iff it has >= 1 pred or
+    # truth event, and the missing side's conditional sum is 0 exactly
+    # like the old full-join coalesce — with the source subtree evaluated
+    # once here instead of twice.
     g = (
-        np_.join(nt, on="class", how="full")
+        _tagged_events(df)
+        .groupBy("class")
+        .agg(
+            F.sum("_p").alias("n_pred"),
+            F.sum(F.lit(1) - F.col("_p")).alias("n_truth"),
+        )
         .join(tp, on="class", how="left")
         .select(
             "class",
-            F.coalesce("n_pred", F.lit(0)).alias("n_pred"),
-            F.coalesce("n_truth", F.lit(0)).alias("n_truth"),
+            "n_pred",
+            "n_truth",
             F.coalesce("tp", F.lit(0)).alias("tp"),
         )
     )
@@ -302,17 +330,23 @@ def eval_f1_deciles(df: DataFrame, radius_s: int = RADIUS_S) -> DataFrame:
     tp = match_pairs(pred, truth, radius_s).groupBy("conv_id").agg(
         F.count(F.lit(1)).alias("tp")
     )
-    np_ = pred.groupBy("conv_id").agg(F.count(F.lit(1)).alias("n_pred"))
-    nt = truth.groupBy("conv_id").agg(F.count(F.lit(1)).alias("n_truth"))
+    # one tagged pass for the per-conv counts (see _tagged_events /
+    # eval_f1_per_class) — identical row set and sums as the old
+    # full-join of two filtered aggregates
     per_conv = (
-        np_.join(nt, on="conv_id", how="full")
+        _tagged_events(df)
+        .groupBy("conv_id")
+        .agg(
+            F.sum("_p").alias("n_pred"),
+            F.sum(F.lit(1) - F.col("_p")).alias("n_truth"),
+        )
         .join(tp, on="conv_id", how="left")
         .select(
             "conv_id",
             F.round(
                 2.0
                 * F.coalesce("tp", F.lit(0))
-                / (F.coalesce("n_pred", F.lit(0)) + F.coalesce("n_truth", F.lit(0))),
+                / (F.col("n_pred") + F.col("n_truth")),
                 6,
             ).alias("f1"),
         )
@@ -325,10 +359,12 @@ def eval_f1_deciles(df: DataFrame, radius_s: int = RADIUS_S) -> DataFrame:
     hist = hist.withColumn("hi", F.sum("cnt").over(w_cum)).withColumn(
         "lo", F.col("hi") - F.col("cnt")
     )
-    total = hist.groupBy().agg(F.sum("cnt").alias("n_total"))
-    h = hist.crossJoin(F.broadcast(total)).withColumn(
-        "decile", F.explode(F.sequence(F.lit(1), F.lit(10)))
-    )
+    # corpus total = max cumulative count over the SAME bounded histogram
+    # window (the curriculum pattern) — the old agg + crossJoin evaluated
+    # the whole per_conv -> hist chain a second time for one scalar
+    h = hist.withColumn(
+        "n_total", F.max("hi").over(Window.partitionBy(F.lit(1)))
+    ).withColumn("decile", F.explode(F.sequence(F.lit(1), F.lit(10))))
     base = F.floor(F.col("n_total") / 10)
     rem = F.col("n_total") % 10
     d = F.col("decile").cast("long")

@@ -45,21 +45,33 @@ def mad_outliers(df: DataFrame, k: float = 3.0, value_col: str = "signal") -> Da
     int64 end to end."""
     yc = F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("long")
     base = df.select("conv_id", "turn_idx", value_col, yc.alias("_yc"))
+    # Both medians run over the per-conv VALUE HISTOGRAM with Spark's
+    # frequency-weighted percentile (identical values to the raw-stream
+    # percentile — integer counts expand to the same multiset), the
+    # grouped_median_mad shape: the old med -> join -> dev -> mad -> join
+    # chain re-evaluated the base stream ~6x; here it is touched twice
+    # (histogram build + final flag join) and the percentile work runs
+    # over the bounded histogram instead of every turn.
     # med2 = 2 * centi-median: percentile of int64 doubled in the exact
     # integer domain (the interpolated .5 becomes an exact whole number)
-    med = base.groupBy("conv_id").agg(
-        F.round(F.expr("percentile(_yc, 0.5)") * 2, 0)
+    hist = base.groupBy("conv_id", "_yc").agg(F.count(F.lit(1)).alias("_cnt"))
+    med = hist.groupBy("conv_id").agg(
+        F.round(F.expr("percentile(_yc, 0.5, _cnt)") * 2, 0)
         .cast("long")
         .alias("_med2")
     )
-    dev = base.join(med, on="conv_id").withColumn(
-        "_adev2", F.abs(F.col("_yc") * 2 - F.col("_med2"))
-    )
-    mad = dev.groupBy("conv_id").agg(
-        F.expr("percentile(_adev2, 0.5)").alias("_mad2")
+    dim = (
+        hist.join(med, on="conv_id")
+        .withColumn("_adev2", F.abs(F.col("_yc") * 2 - F.col("_med2")))
+        .groupBy("conv_id")
+        .agg(
+            F.expr("percentile(_adev2, 0.5, _cnt)").alias("_mad2"),
+            F.min("_med2").alias("_med2"),  # constant within the group
+        )
     )
     return (
-        dev.join(mad, on="conv_id")
+        base.join(dim, on="conv_id")
+        .withColumn("_adev2", F.abs(F.col("_yc") * 2 - F.col("_med2")))
         .select(
             "conv_id",
             "turn_idx",

@@ -718,7 +718,12 @@ def semdedup(
         .select("_mem", "_src")
         .mapInPandas(score, f"{id_col} long, _n_src long, _max_raw double")
     )
-    return m.join(hits, on=id_col, how="left").select(
+    # output base re-derived through the SAME ranked subtree as the packs
+    # (not the pre-window ``m``): all three references then share one
+    # canonical cluster exchange — the scan + IVF assignment below it runs
+    # once and is reused, instead of three independent evaluations
+    base = ranked.select(id_col, "cluster")
+    return base.join(hits, on=id_col, how="left").select(
         id_col,
         "cluster",
         F.coalesce((F.col("_n_src") > 0).cast("long"), F.lit(0)).alias("is_dup"),
