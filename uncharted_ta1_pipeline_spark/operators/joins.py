@@ -96,18 +96,25 @@ def corner_join_passthrough(
     u = df.filter(F.col("role") == "user").select(
         "conv_id", F.col("turn_idx").alias("u_idx")
     )
-    counts = pairs.groupBy("conv_id").agg(F.count(F.lit(1)).alias("_n_pairs"))
-    few = (
-        u.select("conv_id")
-        .distinct()
-        .join(counts, on="conv_id", how="left")
-        .filter(F.coalesce(F.col("_n_pairs"), F.lit(0)) < min_pairs)
-        .select("conv_id")
+    # ONE left join of the user roster against the matched-user set, with
+    # the per-conv pair count as a window over the joined frame (each pair
+    # is one matched user row, so the conditional count equals the old
+    # groupBy counts incl. the coalesce-0 for pair-less conversations) —
+    # the old distinct+counts+anti-join shape evaluated the ``pairs``
+    # subtree (theta join + two ranking windows) three times; this is two.
+    uj = u.join(
+        pairs.select("conv_id", "u_idx").withColumn("_m", F.lit(1)),
+        on=["conv_id", "u_idx"],
+        how="left",
+    ).withColumn(
+        "_np",
+        F.coalesce(
+            F.sum("_m").over(Window.partitionBy("conv_id")), F.lit(0)
+        ),
     )
-    unmatched = u.join(
-        pairs.select("conv_id", "u_idx"), on=["conv_id", "u_idx"], how="left_anti"
-    )
-    passthrough = unmatched.join(few, on="conv_id").select(
+    passthrough = uj.filter(
+        F.col("_m").isNull() & (F.col("_np") < min_pairs)
+    ).select(
         "conv_id",
         "u_idx",
         F.lit(None).cast("int").alias("t_idx"),
