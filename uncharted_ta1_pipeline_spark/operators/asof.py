@@ -149,24 +149,24 @@ def asof_join_bucketed(
 
     # level 2: closing state per (key, bucket), carried into LATER buckets.
     # Every (key, bucket) present in the stream participates — including
-    # probe-only buckets, which would otherwise lose the carry.  ONE
-    # aggregation over the stream instead of the old distinct + filtered
-    # groupBy + re-join (which evaluated the whole tagged-union subtree —
-    # and every source scan under it — twice more): max_by with a
-    # NULL-ordering key for probe rows ignores them, so probe-only buckets
-    # come out with a NULL close exactly like the old left join produced.
+    # probe-only buckets, which would otherwise lose the carry.  The close
+    # is read off the LEVELED frame (the bucket's last row in (ts, tag,
+    # tiebreak) order carries exactly the bucket's last state — NULL for
+    # probe-only buckets, matching the old filtered-groupBy + left-join
+    # result): both stream references are then the identical window
+    # subtree, so the scan + union + shuffle below it is planned as ONE
+    # reused exchange instead of two independent evaluations (the r6
+    # subtree-multiplicity discipline; the r5 shape evaluated the tagged
+    # union three times).
     w_bkts = (
         Window.partitionBy("_k")
         .orderBy("_bkt")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     carry_prev = (
-        unioned.groupBy("_k", "_bkt")
+        leveled.groupBy("_k", "_bkt")
         .agg(
-            F.max_by(
-                "_state",
-                F.when(F.col("_state").isNotNull(), F.struct("_ts", "_tb")),
-            ).alias("_close")
+            F.max_by("_carry_in", F.struct("_ts", "_tag", "_tb")).alias("_close")
         )
         .withColumn("_carry_prev", F.last("_close", ignorenulls=True).over(w_bkts))
         .select("_k", "_bkt", "_carry_prev")
