@@ -86,10 +86,10 @@ _PRIORITY = [
     "dedup_recall",         # full-outer + single aggregate (LSH runs once)
     "ngram_jaccard_pairs",  # df-cap/sizes as windows (subtree 3x -> 1x)
     "curation_funnel",      # one flagged pass (was one sub-plan per stage)
-    "semdedup",             # unrolled dots + single-agg Lloyd step
-    "ann_recall",           # union-tagged hits join (truth 3x -> 2x)
-    "ann_lsh",              # unrolled hyperplane signs
-    "ivf_assign",           # unrolled dots + single-agg Lloyd step
+    "semdedup",             # pack-row numpy scoring + single-agg Lloyd step
+    "ann_recall",           # single-pass truth (marker left join, 1 agg)
+    "ann_lsh",              # one-explode bucketize + hoisted norms
+    "ivf_assign",           # single-agg Lloyd step + scan spread
     "ivf_topk",             # same codebook path
     "ivf_cluster_stats",    # same codebook path
     "asof_features_bucketed",  # single-agg bucket closes (stream 3x -> 2x)

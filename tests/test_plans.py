@@ -159,3 +159,40 @@ def test_regression_state_bucketed_fused_plan(spark):
     n_reused = final.count("ReusedExchange")
     assert n_reused >= 2, f"fused reuse lost: {n_reused}\n{final[:2000]}"
     assert n_exchanges <= 5, f"state-pass exchanges regressed: {n_exchanges}\n{final[:2000]}"
+
+
+def test_median_mad_single_fused_grouped_agg_udf(spark):
+    """grouped_median_mad ships ONE fused grouped-agg pandas UDF (the
+    [n, med, mad] array) per group: ArrowAggregatePython dispatches the
+    Python function once per GROUP per UDF, so with many small groups the
+    call count — not the histogram volume — is the dominant cost (r6
+    measured 2.07 -> 1.75 s at sf0.1 fusing the old count/median/mad
+    trio).  A regression back to multiple grouped-agg UDFs triples the
+    per-group dispatch."""
+    from uncharted_ta1_pipeline_spark.functions.geof import grouped_median_mad
+    from uncharted_ta1_pipeline_spark.sources.transcripts import load_transcripts
+
+    plan = _plan(grouped_median_mad(load_transcripts(spark, SF_SMOKE)))
+    assert "ArrowAggregatePython" in plan, plan[:2000]
+    assert "median_mad_udf" in plan, plan[:2000]
+    rest = plan.replace("median_mad_udf", "")
+    for stale in ("count_udf", "median_udf(", "mad_udf("):
+        assert stale not in rest, f"unfused grouped-agg UDF {stale}:\n{plan[:2000]}"
+
+
+def test_ann_recall_truth_single_pass(spark):
+    """ann_recall evaluates the brute-force truth subtree ONCE in the
+    static plan: truth rows are replicated across the 2-row method dim and
+    left-joined against the union-tagged approx lists with a hit marker,
+    so one (method, query) aggregate yields both n_truth and n_hit.  The
+    old per_q + hits shape listed the whole brute-force plan twice and
+    relied on AQE runtime stage reuse to avoid re-executing it — this form
+    guarantees the single evaluation statically.  Pinned via the
+    parquet-scan count of the full plan: 14 with the single-pass truth
+    (measured), 20+ if a second truth evaluation sneaks back in."""
+    from uncharted_ta1_pipeline_spark.operators.similarity import ann_recall
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    plan = _plan(ann_recall(emb))
+    n_scans = plan.count("Scan parquet")
+    assert n_scans <= 15, f"truth subtree re-evaluated: {n_scans} scans\n{plan[:2000]}"

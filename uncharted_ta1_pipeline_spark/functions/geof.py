@@ -71,18 +71,25 @@ def _scalar_udfs():
 
 
 def _grouped_agg_udfs():
-    """Construct the grouped-agg pandas UDFs (count rides the same surface:
-    Spark disallows mixing grouped-agg pandas UDFs with built-in aggregates
-    in one agg()).
+    """Construct the grouped-agg pandas UDF.
 
-    The UDFs consume a per-group (value, count) HISTOGRAM, not the raw turn
+    The UDF consumes a per-group (value, count) HISTOGRAM, not the raw turn
     stream: the caller pre-reduces with a map-side-combined groupBy, so the
     Arrow buffer a group ships is bounded by the signal's centi-unit value
     RANGE, never by conversation length (a 10^8-turn hot conversation ships
     the same few-thousand-row histogram as a normal one).  The weighted
     median reproduces ``np.median`` over the expanded multiset exactly:
     mean of the elements at 0-based ranks (n-1)//2 and n//2 — halves of
-    int64 values, bit-exact in double in both engines."""
+    int64 values, bit-exact in double in both engines.
+
+    ONE UDF returns all three statistics as array<double> [n, med, mad]
+    instead of the former count/median/mad trio: grouped-agg evaluation
+    invokes each UDF once per GROUP, so with 10^4+ groups the per-call
+    Python dispatch (not the data volume) dominated — fusing cuts the call
+    count 3x and stops recomputing the median inside the MAD.  The count
+    crosses as a double but is exact (int64 counts << 2^53) and is cast
+    back to long in the caller; med/mad are the same doubles the separate
+    UDFs produced (identical _wmedian code path)."""
     import numpy as np
 
     def _wmedian(vals: "np.ndarray", cnts: "np.ndarray") -> float:
@@ -94,26 +101,16 @@ def _grouped_agg_udfs():
         hi = int(np.searchsorted(cum, n // 2 + 1))
         return (float(v[lo]) + float(v[hi])) / 2.0
 
-    @pandas_udf("long")
-    def count_udf(c: pd.Series) -> int:
-        return int(c.sum())
-
-    @pandas_udf("double")
-    def median_udf(v: pd.Series, c: pd.Series) -> float:
-        return _wmedian(
-            v.to_numpy(dtype="int64"), c.to_numpy(dtype="int64")
-        )
-
-    @pandas_udf("double")
-    def mad_udf(v: pd.Series, c: pd.Series) -> float:
+    @pandas_udf("array<double>")
+    def median_mad_udf(v: pd.Series, c: pd.Series) -> list:
         a = v.to_numpy(dtype="int64")
         w = c.to_numpy(dtype="int64")
         med = _wmedian(a, w)
         # deviations are multiples of 0.5 — exact; reuse the weighted
         # median over the (deviation, count) histogram
-        return _wmedian(np.abs(a - med), w)
+        return [float(int(w.sum())), med, _wmedian(np.abs(a - med), w)]
 
-    return count_udf, median_udf, mad_udf
+    return median_mad_udf
 
 
 def geodesic_scale(df: DataFrame) -> DataFrame:
@@ -224,7 +221,7 @@ def grouped_median_mad(df: DataFrame) -> DataFrame:
     identical output to aggregating the raw stream, but the per-group
     Arrow buffer is bounded by the signal's value range, not conversation
     length (see _grouped_agg_udfs)."""
-    count_udf, median_udf, mad_udf = _grouped_agg_udfs()
+    median_mad_udf = _grouped_agg_udfs()
     yc = F.floor(F.col("signal") * 100 + F.lit(0.5)).cast("long")
     hist = (
         df.select("conv_id", yc.alias("_yc"))
@@ -232,13 +229,11 @@ def grouped_median_mad(df: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("_cnt"))
     )
     g = hist.groupBy("conv_id").agg(
-        count_udf(F.col("_cnt")).alias("n"),
-        median_udf(F.col("_yc"), F.col("_cnt")).alias("_med_c"),
-        mad_udf(F.col("_yc"), F.col("_cnt")).alias("_mad_c"),
+        median_mad_udf(F.col("_yc"), F.col("_cnt")).alias("_s")
     )
     return g.select(
         "conv_id",
-        "n",
-        F.round(F.col("_med_c") / 100.0, 6).alias("median_signal"),
-        F.round(F.col("_mad_c") / 100.0, 6).alias("mad_signal"),
+        F.col("_s")[0].cast("long").alias("n"),
+        F.round(F.col("_s")[1] / 100.0, 6).alias("median_signal"),
+        F.round(F.col("_s")[2] / 100.0, 6).alias("mad_signal"),
     )

@@ -510,15 +510,19 @@ def ann_recall(
     truth = ann_bruteforce(emb, n_queries, k, id_col).select(
         "query_id", "neighbor_id"
     )
-    per_q = truth.groupBy("query_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_truth")
-    )
-    # ONE union-tagged hits join instead of one per method: the old loop
-    # evaluated the brute-force truth subtree three times (per_q + a hits
-    # join per method); tagging the approx lists first makes it two, and
-    # the per-(method, query) scaffold is a broadcast crossJoin of the
-    # tiny per_q table with a 2-row method dim (same left-join-with-0
-    # fill as before, so zero-hit (method, query) rows still appear).
+    # ONE evaluation of the brute-force truth subtree (was two: a per-query
+    # count plus a hits join; at sf1.0 each evaluation is ~3 s).  Every
+    # truth row is replicated across the 2-row method dim (broadcast
+    # crossJoin), left-joined against the union-tagged approx lists with a
+    # hit marker, and ONE (method, query) aggregate counts both n_truth
+    # (all rows) and n_hit (marker present).  Value-preserving because the
+    # (query, neighbor) pairs within a method's approx list are unique by
+    # construction — ann_lsh dedups candidates across tables before
+    # scoring, and ivf_topk's index maps each vector to exactly one
+    # cluster — so the left join is at most 1:1 and never multiplies truth
+    # rows; zero-hit (method, query) groups survive exactly as before
+    # because the truth rows themselves anchor the group (the old shape's
+    # per_q x mdim scaffold with a coalesce-0 fill).
     methods = ("ann_lsh", "ivf_topk")
     approx = None
     for method, adf in (
@@ -529,26 +533,28 @@ def ann_recall(
             F.lit(method).alias("method"), "query_id", "neighbor_id"
         )
         approx = tagged if approx is None else approx.unionByName(tagged)
-    hits = (
-        truth.join(approx, on=["query_id", "neighbor_id"])
-        .groupBy("method", "query_id")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
-    )
     mdim = emb.sparkSession.range(1).select(
         F.explode(F.array(*[F.lit(m) for m in methods])).alias("method")
     )
     return (
-        per_q.crossJoin(F.broadcast(mdim))
-        .join(hits, on=["method", "query_id"], how="left")
+        truth.crossJoin(F.broadcast(mdim))
+        .join(
+            approx.withColumn("_hit", F.lit(1)),
+            on=["method", "query_id", "neighbor_id"],
+            how="left",
+        )
+        .groupBy("method", "query_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_truth"),
+            F.count("_hit").cast("long").alias("n_hit"),
+        )
         .select(
             "method",
             "query_id",
             "n_truth",
-            F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_hit"),
+            "n_hit",
             F.round(
-                F.coalesce(F.col("n_hit"), F.lit(0)).cast("double")
-                / F.col("n_truth"),
-                6,
+                F.col("n_hit").cast("double") / F.col("n_truth"), 6
             ).alias("recall_at_k"),
         )
     )
